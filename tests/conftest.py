@@ -1,0 +1,51 @@
+"""Test environment: force CPU with 8 virtual devices so sharding/collective
+tests run without TPU hardware (the TPU-world equivalent of a multi-node
+fake backend)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The environment's sitecustomize force-registers a TPU backend and overrides
+# JAX_PLATFORMS; pin the tests to the 8-virtual-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def torch_oracle():
+    """Import torch + the reference implementation as a numerical oracle.
+
+    The reference's model module imports torchvision/matplotlib/IPython/
+    tensorboard at module scope but never uses them in the model classes, so
+    absent optional deps are stubbed out.  Reference code is used strictly as
+    a test oracle; nothing from it ships in the framework.
+    """
+    torch = pytest.importorskip("torch")
+    from unittest.mock import MagicMock
+
+    for mod in ("torchvision", "torchvision.models", "torchvision.transforms",
+                "torchvision.utils", "matplotlib", "matplotlib.pyplot",
+                "IPython", "IPython.display", "torch.utils.tensorboard"):
+        sys.modules.setdefault(mod, MagicMock())
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    torch.manual_seed(0)
+    return torch
+
+
+def assert_close(a, b, atol=1e-4, rtol=1e-4, msg=""):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=atol, rtol=rtol, err_msg=msg)
