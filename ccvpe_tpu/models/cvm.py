@@ -47,8 +47,8 @@ from ..nn.layers import (
 from ..ops.matching import matching_scores, matching_scores_reference
 
 N_SCALES = 6
-SKIP_BLOCKS = (15, 10, 4, 2, 0)  # reference ``models.py:167-171``
-SKIP_CH = (320, 112, 40, 24, 16)
+B0_SKIP_BLOCKS = (15, 10, 4, 2, 0)  # reference ``models.py:167-171``
+B0_SKIP_CH = (320, 112, 40, 24, 16)
 
 
 @dataclass(frozen=True)
@@ -67,6 +67,10 @@ class CVMConfig:
     ori_conv_ch: tuple[int, ...]
     grd_hw: tuple[int, int]          # input image sizes (for presets/docs)
     sat_hw: tuple[int, int]
+    backbone: str = "b0"
+    feat_dim: int = 1280             # backbone head width
+    skip_blocks: tuple[int, ...] = B0_SKIP_BLOCKS
+    skip_ch: tuple[int, ...] = B0_SKIP_CH
 
     @property
     def grd_desc_len(self) -> tuple[int, ...]:
@@ -117,8 +121,22 @@ TINY = CVMConfig(
     ori_conv_ch=(640, 256, 128, 64, 32),
     grd_hw=(64, 128), sat_hw=(128, 128))
 
+# Minimal config for train-mechanics tests and multi-chip dry runs: NANO
+# backbone, 4 bins, same 6-stage decoder structure.
+NANO = CVMConfig(
+    name="NANO", bins=4, circular=True, window="first", sat_desc_dim=256,
+    grd_desc_ch=(16, 8, 4, 2, 2, 1), grd_feat_hw=(2, 4),
+    shifts=(64, 8, 4, 2, 2, 2),
+    loc_deconv_ch=(64, 32, 16, 8, 8, 8),
+    loc_conv_ch=(32, 16, 8, 8, 8),
+    ori_deconv_ch=(64, 32, 16, 8, 8, 8),
+    ori_conv_ch=(32, 16, 8, 8, 8),
+    grd_hw=(64, 128), sat_hw=(128, 128),
+    backbone="nano", feat_dim=256,
+    skip_blocks=(4, 3, 2, 1, 0), skip_ch=(32, 24, 16, 12, 8))
+
 PRESETS = {"VIGOR": VIGOR, "KITTI": KITTI, "OxfordRobotCar": OXFORD,
-           "TINY": TINY}
+           "TINY": TINY, "NANO": NANO}
 
 
 class CVMOutputs(NamedTuple):
@@ -175,7 +193,7 @@ def _decoder_widths(cfg: CVMConfig, branch: str):
         d_in = x_ch
         d_out = dec_out[s]
         if s < 5:
-            c_in = d_out + SKIP_CH[s]
+            c_in = d_out + cfg.skip_ch[s]
             c_out = conv_out[s]
             x_ch = c_out + extra
         else:
@@ -187,8 +205,8 @@ def _decoder_widths(cfg: CVMConfig, branch: str):
 def init(key, cfg: CVMConfig, dtype=jnp.float32):
     """Initialize (params, state) with torch-default distributions."""
     keys = iter(jax.random.split(key, 64))
-    b0_grd = effnet.b0_config(cfg.circular)
-    b0_sat = effnet.b0_config(False)
+    b0_grd = effnet.backbone_config(cfg.backbone, cfg.circular)
+    b0_sat = effnet.backbone_config(cfg.backbone, False)
     params, state = {}, {}
     params["grd_efficientnet"], state["grd_efficientnet"] = effnet.b0_init(
         next(keys), b0_grd, dtype)
@@ -197,13 +215,14 @@ def init(key, cfg: CVMConfig, dtype=jnp.float32):
     h = cfg.grd_feat_hw[0]
     for k in range(N_SCALES):
         params[f"grd_feature_to_descriptor{k+1}"] = {
-            "conv_c": conv_init(next(keys),
-                                ConvSpec(1280, cfg.grd_desc_ch[k], 1, bias=True),
-                                dtype),
+            "conv_c": conv_init(
+                next(keys),
+                ConvSpec(cfg.feat_dim, cfg.grd_desc_ch[k], 1, bias=True),
+                dtype),
             "conv_h": conv_init(next(keys), ConvSpec(h, 1, 1, bias=True), dtype),
         }
     params["sat_feature_to_descriptors"] = _linear_init(
-        next(keys), 1280 * 2 * 2, cfg.sat_desc_dim, dtype)
+        next(keys), cfg.feat_dim * 2 * 2, cfg.sat_desc_dim, dtype)
     for branch, suffix in (("loc", ""), ("ori", "_ori")):
         for s, (d_in, d_out, c_in, c_out) in enumerate(
                 _decoder_widths(cfg, branch)):
@@ -267,8 +286,8 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
 
     new_state = {}
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
-    b0_grd = effnet.b0_config(cfg.circular)
-    b0_sat = effnet.b0_config(False)
+    b0_grd = effnet.backbone_config(cfg.backbone, cfg.circular)
+    b0_sat = effnet.backbone_config(cfg.backbone, False)
 
     grd_feat, _, new_state["grd_efficientnet"] = effnet.b0_apply(
         b0_grd, params["grd_efficientnet"], state["grd_efficientnet"], grd,
@@ -280,7 +299,7 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
     sat_feat, ms, new_state["sat_efficientnet"] = effnet.b0_apply(
         b0_sat, params["sat_efficientnet"], state["sat_efficientnet"], sat,
         train=train, rng=rngs[1])
-    skips = [ms[i] for i in SKIP_BLOCKS]
+    skips = [ms[i] for i in cfg.skip_blocks]
 
     sat_desc = _sat_descriptor_grid(params["sat_feature_to_descriptors"],
                                     sat_feat)

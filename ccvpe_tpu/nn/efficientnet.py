@@ -77,6 +77,21 @@ B0_STEM_CH = 32
 B0_HEAD_CH = 1280
 DROP_CONNECT_RATE = 0.2  # ``utils.py:688`` / GlobalParams
 
+# Reduced 5-block backbone with the same stride/skip structure as B0 — used
+# by fast tests and multi-chip dry runs (not a reference architecture).
+NANO_BLOCK_ARGS = (
+    BlockArgs(1, 3, 1, 1, 8, 8, 0.25),
+    BlockArgs(1, 3, 2, 2, 8, 12, 0.25),
+    BlockArgs(1, 3, 2, 2, 12, 16, 0.25),
+    BlockArgs(1, 3, 2, 2, 16, 24, 0.25),
+    BlockArgs(1, 3, 2, 2, 24, 32, 0.25),
+)
+
+BACKBONES = {
+    "b0": (B0_BLOCK_ARGS, B0_STEM_CH, B0_HEAD_CH),
+    "nano": (NANO_BLOCK_ARGS, 8, 256),
+}
+
 
 class BlockSpec(NamedTuple):
     expand_conv: ConvSpec | None
@@ -110,22 +125,27 @@ def _block_spec(args: BlockArgs, traced_hw, circular: bool):
     return BlockSpec(expand, depthwise, se_reduce, se_expand, project, id_skip)
 
 
-def b0_config(circular: bool = False) -> B0Config:
-    """Build the static spec, tracking the construction-time image size the
-    same way the reference constructor does (``model.py:174-208``)."""
+def backbone_config(name: str, circular: bool = False) -> B0Config:
+    """Build a static backbone spec, tracking the construction-time image
+    size the same way the reference constructor does (``model.py:174-208``)."""
+    block_args, stem_ch, head_ch = BACKBONES[name]
     hw = (B0_IMAGE_SIZE, B0_IMAGE_SIZE)
-    stem = ConvSpec(3, B0_STEM_CH, 3, 2, pad=same_pad(hw, 3, 2),
+    stem = ConvSpec(3, stem_ch, 3, 2, pad=same_pad(hw, 3, 2),
                     circular=circular)
     hw = traced_output_hw(hw, 2)
     blocks = []
-    for args in B0_BLOCK_ARGS:
+    for args in block_args:
         blocks.append(_block_spec(args, hw, circular))
         hw = traced_output_hw(hw, args.stride)
         repeat_args = args._replace(cin=args.cout, stride=1)
         for _ in range(args.num_repeat - 1):
             blocks.append(_block_spec(repeat_args, hw, circular))
-    head = ConvSpec(320, B0_HEAD_CH, 1, circular=circular)
+    head = ConvSpec(block_args[-1].cout, head_ch, 1, circular=circular)
     return B0Config(circular, stem, tuple(blocks), head)
+
+
+def b0_config(circular: bool = False) -> B0Config:
+    return backbone_config("b0", circular)
 
 
 def _block_init(key, spec: BlockSpec, dtype):

@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-GPU (SURVEY.md §2: no distributed code anywhere);
+this framework scales via SPMD: one ``jax.sharding.Mesh``, NamedShardings,
+and jit-inserted collectives riding ICI.  Data parallelism reproduces the
+reference's training semantics exactly (per-scale losses normalize
+within-sample, so sharding the batch is semantics-preserving); the mesh keeps
+a ``model`` axis available for tensor-sharding the wide decoder layers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_init_distributed():
+    """Multi-host init when launched under a JAX distributed environment
+    (no-op single-host)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def create_mesh(n_data: int | None = None, n_model: int = 1,
+                devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded along axis 0."""
+    sharding = data_sharded(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)

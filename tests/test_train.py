@@ -1,0 +1,104 @@
+"""Train-step tests on the TINY config: sharded-vs-single-device equivalence,
+finite losses, BN-state updates, checkpoint round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ccvpe_tpu.models import cvm
+from ccvpe_tpu.ops import gt as gt_ops
+from ccvpe_tpu.parallel import mesh as mesh_lib
+from ccvpe_tpu.train import loop as train_loop
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = cvm.NANO
+    opt = train_loop.make_optimizer(1e-4)
+    state = train_loop.create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    rng = np.random.default_rng(0)
+    b = 8
+    h, w = cfg.sat_hw
+    gh, gw = cfg.grd_hw
+    gt, gwo, omap = gt_ops.synthesize_batch(
+        jnp.asarray(rng.uniform(-20, 20, b), jnp.float32),
+        jnp.asarray(rng.uniform(-20, 20, b), jnp.float32),
+        jnp.asarray(rng.uniform(0, 360, b), jnp.float32),
+        height=h, width=w, bins=cfg.bins)
+    batch = {
+        "grd": jnp.asarray(rng.standard_normal((b, gh, gw, 3)), jnp.float32),
+        "sat": jnp.asarray(rng.standard_normal((b, h, w, 3)), jnp.float32),
+        "gt": gt, "gt_with_ori": gwo, "orientation": omap,
+    }
+    return cfg, opt, state, batch
+
+
+def test_train_step_runs_and_updates(tiny_setup):
+    cfg, opt, state, batch = tiny_setup
+    step = train_loop.make_train_step(cfg, opt)
+    new_state, parts = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    for k, v in parts.items():
+        assert np.isfinite(float(v)), k
+    # params changed
+    delta = jax.tree_util.tree_reduce(
+        lambda acc, ab: acc + float(jnp.abs(ab).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, new_state.params,
+                               state.params), 0.0)
+    assert delta > 0
+    # BN running stats moved
+    bn_delta = float(jnp.abs(
+        new_state.bn_state["sat_efficientnet"]["bn0"]["mean"]
+        - state.bn_state["sat_efficientnet"]["bn0"]["mean"]).sum())
+    assert bn_delta > 0
+
+
+def test_data_parallel_matches_single_device(tiny_setup):
+    """Sharding the batch over 8 devices must not change the numerics
+    (global-semantics jit): loss parts match the single-device step."""
+    cfg, opt, state, batch = tiny_setup
+    step = train_loop.make_train_step(cfg, opt)
+    rng = jax.random.PRNGKey(1)
+
+    _, parts_single = jax.jit(step)(state, batch, rng)
+
+    mesh = mesh_lib.create_mesh()
+    assert mesh.shape["data"] == 8
+    sharded_step = train_loop.compile_train_step(step, mesh, donate=False)
+    state_r = mesh_lib.replicate(mesh, state)
+    batch_s = mesh_lib.shard_batch(mesh, batch)
+    _, parts_shard = sharded_step(state_r, batch_s, rng)
+
+    for k in parts_single:
+        a, b = float(parts_single[k]), float(parts_shard[k])
+        assert abs(a - b) < 2e-2 * max(1.0, abs(a)), (k, a, b)
+
+
+def test_eval_step_sharded(tiny_setup):
+    cfg, opt, state, batch = tiny_setup
+    mesh = mesh_lib.create_mesh()
+    eval_step = train_loop.make_eval_step(cfg)
+    fn = train_loop.compile_eval_step(eval_step, mesh)
+    out = fn(mesh_lib.replicate(mesh, state.params),
+             mesh_lib.replicate(mesh, state.bn_state),
+             *(mesh_lib.shard_batch(mesh, (batch["grd"], batch["sat"]))))
+    hm = np.asarray(out.heatmap)
+    assert hm.shape == (8, cfg.sat_hw[0], cfg.sat_hw[1], 1)
+    np.testing.assert_allclose(hm.reshape(8, -1).sum(1), 1.0, atol=1e-3)
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+
+    cfg, opt, state, batch = tiny_setup
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(0, state, wait=True)
+    template = train_loop.create_train_state(cfg, jax.random.PRNGKey(7), opt)
+    restored = mngr.restore(template)
+    mngr.close()
+    before = jax.tree_util.tree_leaves(state.params)
+    after = jax.tree_util.tree_leaves(restored.params)
+    assert len(before) == len(after)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
