@@ -1,0 +1,175 @@
+"""KITTI cross-view dataset: file-list parsing, host-side aligned-aerial
+augmentation, device GT synthesis.
+
+Mirrors ``SatGrdDataset`` / ``SatGrdDatasetTest`` (reference
+``datasets.py:356-638``).  The aerial alignment chain (rotate to heading ->
+camera-offset shift -> random/test shift -> random/test rotation -> center
+crop) runs with the same PIL calls and resampling modes as the reference so
+test-time numbers are bit-faithful; GT heatmap/bin synthesis runs on device
+(``ops.gt``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from ..ops import gt as gt_ops
+from . import transforms
+
+# reference ``datasets.py:358-366``
+DEFAULT_LAT = 49.015
+SATMAP_ZOOM = 18
+SAT_PROCESS_SIDELENGTH = 512
+SATMAP_DIR = "satmap"
+GRDIMAGE_DIR = "raw_data"
+OXTS_DIR = "oxts/data"
+LEFT_COLOR_CAMERA_DIR = "image_02/data"
+CAMERA_GPS_SHIFT_LEFT = (1.08, 0.26)
+
+GRD_HW = (256, 1024)   # ``train_KITTI.py:46-47``
+SAT_HW = (512, 512)
+BINS = 16
+
+
+def meter_per_pixel(lat: float = DEFAULT_LAT, zoom: int = SATMAP_ZOOM,
+                    scale: float = 1.0) -> float:
+    """Web-mercator resolution (reference ``datasets.py:368-372``)."""
+    mpp = 156543.03392 * np.cos(lat * np.pi / 180.0) / (2 ** zoom)
+    return mpp / 2 / scale
+
+
+@dataclass
+class KittiIndex:
+    root: str
+    entries: list          # train: file names; test: (name, sx, sy, theta)
+    test: bool
+
+    @classmethod
+    def load(cls, root: str, list_file: str, test: bool = False):
+        with open(list_file) as f:
+            lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+        if test:
+            entries = []
+            for ln in lines:
+                name, sx, sy, th = ln.split(" ")
+                entries.append((name, float(sx), float(sy), float(th)))
+        else:
+            entries = lines
+        return cls(root, entries, test)
+
+    def __len__(self):
+        return len(self.entries)
+
+
+class KittiSampler:
+    """Per-sample host loader; train applies random shift/rotation, test
+    reads them from the file columns (deterministic eval,
+    reference ``datasets.py:540-638``)."""
+
+    def __init__(self, index: KittiIndex, *, shift_range_lat: float = 20.0,
+                 shift_range_lon: float = 20.0, rotation_range: float = 10.0,
+                 grd_hw=GRD_HW, sat_hw=SAT_HW, seed: int = 0):
+        self.index = index
+        self.mpp = meter_per_pixel(scale=1)
+        self.shift_px_lat = shift_range_lat / self.mpp
+        self.shift_px_lon = shift_range_lon / self.mpp
+        self.rotation_range = rotation_range
+        self.grd_hw = grd_hw
+        self.sat_hw = sat_hw
+        self.rng = np.random.default_rng(seed)
+
+    def _read_oxts(self, file_name: str):
+        drive_dir = file_name[:38]
+        image_no = file_name[38:]
+        oxts = os.path.join(self.index.root, GRDIMAGE_DIR, drive_dir,
+                            OXTS_DIR, image_no.lower().replace(".png", ".txt"))
+        with open(oxts) as f:
+            content = f.readline().split(" ")
+        return float(content[0]), float(content[1]), float(content[5])
+
+    def __call__(self, idx: int) -> dict:
+        if self.index.test:
+            file_name, sx, sy, theta = self.index.entries[idx]
+            gt_shift_x, gt_shift_y = -sx, -sy   # ``datasets.py:585-586``
+            random_ori = theta * self.rotation_range
+        else:
+            file_name = self.index.entries[idx]
+            gt_shift_x = float(self.rng.uniform(-1, 1))
+            gt_shift_y = float(self.rng.uniform(-1, 1))
+            random_ori = float(self.rng.uniform(-1, 1)) * self.rotation_range
+
+        _, _, heading = self._read_oxts(file_name)
+        drive_dir = file_name[:38]
+        image_no = file_name[38:]
+
+        grd_path = os.path.join(self.index.root, GRDIMAGE_DIR, drive_dir,
+                                LEFT_COLOR_CAMERA_DIR, image_no.lower())
+        grd = transforms.load_image(grd_path, self.grd_hw)
+
+        with Image.open(os.path.join(self.index.root, SATMAP_DIR,
+                                     file_name)) as im:
+            sat_map = im.convert("RGB")
+
+        # alignment chain, resampling modes as the reference
+        # (``datasets.py:443-464``): rotate (nearest) -> affine (bilinear)
+        # -> affine (bilinear) -> rotate (nearest) -> center crop
+        sat_rot = sat_map.rotate((-heading) / np.pi * 180)
+        sat_align_cam = sat_rot.transform(
+            sat_rot.size, Image.AFFINE,
+            (1, 0, CAMERA_GPS_SHIFT_LEFT[0] / self.mpp,
+             0, 1, CAMERA_GPS_SHIFT_LEFT[1] / self.mpp),
+            resample=Image.BILINEAR)
+        sat_rand_shift = sat_align_cam.transform(
+            sat_align_cam.size, Image.AFFINE,
+            (1, 0, gt_shift_x * self.shift_px_lon,
+             0, 1, -gt_shift_y * self.shift_px_lat),
+            resample=Image.BILINEAR)
+        sat_rot2 = sat_rand_shift.rotate(random_ori)
+        w, h = sat_rot2.size
+        side = SAT_PROCESS_SIDELENGTH
+        left = (w - side) // 2
+        top = (h - side) // 2
+        sat = np.asarray(
+            sat_rot2.crop((left, top, left + side, top + side)), np.uint8)
+
+        # GT offsets back-computed in the rotated frame (``datasets.py:472-473``)
+        cos_o = np.cos(random_ori / 180 * np.pi)
+        sin_o = np.sin(random_ori / 180 * np.pi)
+        x_offset = int(gt_shift_x * self.shift_px_lon * cos_o
+                       - gt_shift_y * self.shift_px_lat * sin_o)
+        y_offset = int(-gt_shift_y * self.shift_px_lat * cos_o
+                       - gt_shift_x * self.shift_px_lon * sin_o)
+
+        # orientation angle (``datasets.py:483-487``)
+        angle = 90.0 - random_ori
+        if angle < 0:
+            angle += 360
+        elif angle > 360:
+            angle -= 360
+
+        return {
+            "grd": grd, "sat": sat,
+            "angle": np.float32(angle),
+            # reference grid convention: x_offset shifts cols, y_offset rows
+            # via the same meshgrid signs as VIGOR with row=-y, col=x
+            "row_offset": np.float32(-y_offset),
+            "col_offset": np.float32(x_offset),
+            "orientation_from_north": np.float32(angle),
+        }
+
+
+def device_batch(raw: dict, *, train: bool, sat_hw=SAT_HW, bins=BINS):
+    grd = transforms.normalize_images(jnp.asarray(raw["grd"]))
+    sat = transforms.normalize_images(jnp.asarray(raw["sat"]))
+    gt, gwo, omap = gt_ops.synthesize_batch(
+        jnp.asarray(raw["row_offset"]), jnp.asarray(raw["col_offset"]),
+        jnp.asarray(raw["angle"]), height=sat_hw[0], width=sat_hw[1],
+        bins=bins, clockwise=False, with_bins=train)
+    return {"grd": grd, "sat": sat, "gt": gt, "gt_with_ori": gwo,
+            "orientation": omap}

@@ -1,0 +1,104 @@
+"""Generic prefetching input pipeline.
+
+Replaces torch ``DataLoader`` (reference ``train_VIGOR.py:90-93``) with a
+thread-pool host loader + bounded prefetch queue: worker threads decode and
+resize images (PIL releases the GIL for both), batches are collated to numpy,
+and the training loop overlaps host loading with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack a list of per-sample dicts into arrays (object dtype for str)."""
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], str) or (
+                isinstance(vals[0], np.ndarray) and vals[0].dtype.kind == "U"):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+class Loader:
+    """Iterable over collated batches with background prefetch.
+
+    Args:
+      sample_fn: idx -> dict of numpy values.
+      indices: epoch's sample order.
+      batch_size: global batch size.
+      num_workers: decode threads.
+      prefetch: max batches resident in the queue.
+      drop_last: drop the trailing partial batch (keeps shapes static for jit).
+    """
+
+    def __init__(self, sample_fn, indices, batch_size: int,
+                 num_workers: int = 8, prefetch: int = 4,
+                 drop_last: bool = True):
+        self.sample_fn = sample_fn
+        self.indices = np.asarray(indices)
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self):
+        n = len(self.indices)
+        end = n - n % self.batch_size if self.drop_last else n
+        for i in range(0, end, self.batch_size):
+            yield self.indices[i:i + self.batch_size]
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in self._batches():
+                        samples = list(pool.map(self.sample_fn, batch_idx))
+                        q.put(collate(samples))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        thread.join()
+
+
+def epoch_indices(n: int, *, shuffle: bool, rng: np.random.Generator):
+    idx = np.arange(n)
+    if shuffle:
+        rng.shuffle(idx)
+    return idx
+
+
+def train_val_split(n: int, val_fraction: float = 0.2, seed: int = 0):
+    """Reference's 80/20 shuffled split (``train_VIGOR.py:82-91``, which uses
+    ``np.random.seed(0)`` then ``np.random.shuffle``)."""
+    rng = np.random.RandomState(seed)
+    idx = np.arange(n)
+    rng.shuffle(idx)
+    cut = int(n * (1 - val_fraction))
+    return idx[:cut], idx[cut:]

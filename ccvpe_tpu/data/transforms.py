@@ -1,0 +1,64 @@
+"""Host-side image decode/resize + device-side normalization.
+
+Split chosen for TPU throughput: JPEG decode and the first resize stay on
+host worker threads (smallest possible host->device transfer, uint8), while
+normalization, panorama rolling, and all ground-truth synthesis run jitted on
+device (the reference does everything per-sample in Python workers,
+``datasets.py:98-177`` — its 14 FPS ceiling).
+
+Numerical conventions mirrored from the reference drivers:
+* PIL bilinear resize (torchvision ``transforms.Resize`` on PIL images,
+  ``train_VIGOR.py:57-70``),
+* ImageNet mean/std normalization,
+* panorama roll by ``round(rotation * W)`` pixels (``datasets.py:118``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def load_image(path: str, size_hw: tuple[int, int] | None = None,
+               fallback_hw: tuple[int, int] | None = None) -> np.ndarray:
+    """Decode to RGB uint8 [H, W, 3], optionally PIL-bilinear resized.
+
+    Unreadable files fall back to a blank image like the reference
+    (``datasets.py:100-105``)."""
+    try:
+        img = Image.open(path).convert("RGB")
+    except Exception:
+        hw = size_hw or fallback_hw or (320, 640)
+        return np.zeros((*hw, 3), np.uint8)
+    if size_hw is not None and img.size != (size_hw[1], size_hw[0]):
+        img = img.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def normalize_images(x_uint8, dtype=jnp.float32):
+    """uint8 [B,H,W,3] -> ImageNet-normalized float [B,H,W,3] on device."""
+    x = x_uint8.astype(dtype) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype)
+    return (x - mean) / std
+
+
+@jax.jit
+def roll_panorama(grd, rotation):
+    """Per-sample horizontal roll: shift = round(rotation * W) pixels
+    (reference ``datasets.py:108-118``).  rotation: [B] in (-1, 1)."""
+    w = grd.shape[2]
+    shifts = jnp.round(rotation * w).astype(jnp.int32)
+    return jax.vmap(lambda img, s: jnp.roll(img, s, axis=1))(grd, shifts)
+
+
+def to_pil(arr: np.ndarray) -> Image.Image:
+    return Image.fromarray(np.asarray(arr, np.uint8))

@@ -1,0 +1,159 @@
+"""VIGOR dataset: index parsing, host sample loading, device batch assembly.
+
+Mirrors ``VIGORDataset`` (reference ``datasets.py:18-177``) with the
+host/device split of this framework: txt parsing + JPEG decode + PIL resize
+on host; normalization, panorama rolling, and Gaussian/binned GT synthesis
+jitted on device (``ccvpe_tpu.data.transforms``, ``ccvpe_tpu.ops.gt``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import gt as gt_ops
+from . import transforms
+
+CITY_LISTS = {
+    # reference ``datasets.py:32-38``
+    ("samearea", True): ["NewYork", "Seattle", "SanFrancisco", "Chicago"],
+    ("samearea", False): ["NewYork", "Seattle", "SanFrancisco", "Chicago"],
+    ("crossarea", True): ["NewYork", "Seattle"],
+    ("crossarea", False): ["SanFrancisco", "Chicago"],
+}
+
+GRD_HW = (320, 640)   # ``train_VIGOR.py:57-62``
+SAT_HW = (512, 512)   # ``train_VIGOR.py:64-70``
+BINS = 20
+
+
+@dataclass
+class VigorIndex:
+    """Parsed split: ground panoramas, their 4 (semi-)positive satellite
+    references, and pixel deltas (reference ``datasets.py:40-93``)."""
+
+    root: str
+    split: str
+    train: bool
+    grd_paths: np.ndarray      # [N] str
+    labels: np.ndarray         # [N, 4] int  (satellite indices)
+    deltas: np.ndarray         # [N, 4, 2] float (row, col offsets, raw px)
+    sat_paths: np.ndarray      # [M] str
+    cities: np.ndarray         # [N] str
+
+    @classmethod
+    def load(cls, root: str, split: str = "samearea", train: bool = True,
+             label_root: str = "splits_new"):
+        city_list = CITY_LISTS[(split, train)]
+        sat_paths, sat_index = [], {}
+        for city in city_list:
+            fname = os.path.join(root, label_root, city, "satellite_list.txt")
+            with open(fname) as f:
+                for line in f:
+                    name = line.strip()
+                    if not name:
+                        continue
+                    sat_index[name] = len(sat_paths)
+                    sat_paths.append(os.path.join(root, city, "satellite",
+                                                  name))
+        grd_paths, labels, deltas, cities = [], [], [], []
+        for city in city_list:
+            if split == "samearea":
+                base = ("same_area_balanced_train.txt" if train
+                        else "same_area_balanced_test.txt")
+            else:
+                base = "pano_label_balanced.txt"
+            fname = os.path.join(root, label_root, city, base)
+            with open(fname) as f:
+                for line in f:
+                    data = np.array(line.split(" "))
+                    labels.append([sat_index[data[i]] for i in (1, 4, 7, 10)])
+                    deltas.append(np.array(
+                        [data[2:4], data[5:7], data[8:10], data[11:13]],
+                        dtype=float))
+                    grd_paths.append(os.path.join(root, city, "panorama",
+                                                  data[0]))
+                    cities.append(city)
+        return cls(root, split, train, np.array(grd_paths),
+                   np.array(labels, np.int64), np.array(deltas),
+                   np.array(sat_paths), np.array(cities))
+
+    def __len__(self):
+        return len(self.grd_paths)
+
+
+class VigorSampler:
+    """Host-side per-sample loader producing uint8 images + scalar metadata;
+    everything array-math moves to the device batch step."""
+
+    def __init__(self, index: VigorIndex, *, pos_only: bool = True,
+                 ori_noise: float = 180.0, random_orientation=None,
+                 grd_hw=GRD_HW, sat_hw=SAT_HW, seed: int = 0):
+        self.index = index
+        self.pos_only = pos_only
+        self.ori_noise = ori_noise
+        self.random_orientation = random_orientation
+        self.grd_hw = grd_hw
+        self.sat_hw = sat_hw
+        self.rng = np.random.default_rng(seed)
+
+    def _rotation(self, idx: int) -> float:
+        # reference ``datasets.py:108-116``
+        if self.random_orientation is not None:
+            return float(self.random_orientation[idx]) / 360.0
+        if self.ori_noise >= 180:
+            return float(self.rng.uniform(0.0, 1.0))
+        r = self.ori_noise / 360.0
+        return float(self.rng.uniform(-r, r))
+
+    def _pick_satellite(self, idx: int):
+        # reference ``datasets.py:123-133``
+        if self.pos_only:
+            pos = 0
+        else:
+            while True:
+                pos = int(self.rng.integers(0, 4))
+                row, col = self.index.deltas[idx, pos]
+                if abs(row) < 320 and abs(col) < 320:
+                    break
+        return pos
+
+    def __call__(self, idx: int) -> dict:
+        grd = transforms.load_image(self.index.grd_paths[idx], self.grd_hw,
+                                    fallback_hw=self.grd_hw)
+        pos = self._pick_satellite(idx)
+        sat_path = self.index.sat_paths[self.index.labels[idx, pos]]
+        from PIL import Image
+        with Image.open(sat_path) as im:
+            width_raw, height_raw = im.size
+        sat = transforms.load_image(sat_path, self.sat_hw)
+        row_offset, col_offset = self.index.deltas[idx, pos]
+        # rescale offsets to model resolution (reference ``datasets.py:140-141``)
+        row_offset = np.round(row_offset / height_raw * self.sat_hw[0])
+        col_offset = np.round(col_offset / width_raw * self.sat_hw[1])
+        rotation = self._rotation(idx)
+        return {
+            "grd": grd, "sat": sat,
+            "rotation": np.float32(rotation),
+            "angle": np.float32(rotation * 360.0),
+            "row_offset": np.float32(row_offset),
+            "col_offset": np.float32(col_offset),
+            "city": self.index.cities[idx],
+        }
+
+
+def device_batch(raw: dict, *, train: bool, sat_hw=SAT_HW, bins=BINS):
+    """Assemble a collated host batch into the model's device batch:
+    normalize, roll panoramas, synthesize GT (all jitted)."""
+    grd = transforms.normalize_images(jnp.asarray(raw["grd"]))
+    grd = transforms.roll_panorama(grd, jnp.asarray(raw["rotation"]))
+    sat = transforms.normalize_images(jnp.asarray(raw["sat"]))
+    gt, gwo, omap = gt_ops.synthesize_batch(
+        jnp.asarray(raw["row_offset"]), jnp.asarray(raw["col_offset"]),
+        jnp.asarray(raw["angle"]), height=sat_hw[0], width=sat_hw[1],
+        bins=bins, clockwise=False, with_bins=train)
+    return {"grd": grd, "sat": sat, "gt": gt, "gt_with_ori": gwo,
+            "orientation": omap}

@@ -1,0 +1,240 @@
+"""Data-layer tests on synthetic fixtures: VIGOR index parsing + sampling,
+the prefetching loader, Oxford UTM fit + crops, and KITTI's aerial alignment
+chain verified against the reference dataset class as an oracle."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ccvpe_tpu.data import kitti, oxford, pipeline, vigor
+
+
+def _write_img(path, hw, seed):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    Image.fromarray(rng.integers(0, 255, (*hw, 3), dtype=np.uint8)).save(path)
+
+
+@pytest.fixture(scope="module")
+def vigor_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vigor"))
+    rng = np.random.default_rng(0)
+    for city in ["NewYork", "Seattle", "SanFrancisco", "Chicago"]:
+        sats = [f"sat_{city}_{i}.png" for i in range(3)]
+        os.makedirs(os.path.join(root, "splits_new", city), exist_ok=True)
+        with open(os.path.join(root, "splits_new", city,
+                               "satellite_list.txt"), "w") as f:
+            f.write("\n".join(sats) + "\n")
+        for s in sats:
+            _write_img(os.path.join(root, city, "satellite", s), (64, 64),
+                       hash(s) % 100)
+        lines = []
+        for j in range(4):
+            pano = f"pano_{city}_{j}.png"
+            _write_img(os.path.join(root, city, "panorama", pano), (32, 64),
+                       j)
+            fields = [pano]
+            for k in range(4):
+                fields += [sats[(j + k) % 3],
+                           str(rng.uniform(-20, 20)), str(rng.uniform(-20, 20))]
+            lines.append(" ".join(fields))
+        for base in ["same_area_balanced_train.txt",
+                     "same_area_balanced_test.txt", "pano_label_balanced.txt"]:
+            with open(os.path.join(root, "splits_new", city, base), "w") as f:
+                f.write("\n".join(lines) + "\n")
+    return root
+
+
+class TestVigor:
+    def test_index_parsing(self, vigor_root):
+        idx = vigor.VigorIndex.load(vigor_root, "samearea", train=True)
+        assert len(idx) == 16
+        assert idx.labels.shape == (16, 4)
+        assert idx.deltas.shape == (16, 4, 2)
+        assert len(idx.sat_paths) == 12
+        cross = vigor.VigorIndex.load(vigor_root, "crossarea", train=False)
+        assert set(cross.cities) == {"SanFrancisco", "Chicago"}
+
+    def test_sampler_and_device_batch(self, vigor_root):
+        idx = vigor.VigorIndex.load(vigor_root, "samearea", train=True)
+        sampler = vigor.VigorSampler(idx, grd_hw=(32, 64), sat_hw=(64, 64))
+        loader = pipeline.Loader(sampler, np.arange(8), batch_size=4,
+                                 num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 2
+        raw = batches[0]
+        assert raw["grd"].shape == (4, 32, 64, 3)
+        assert raw["sat"].shape == (4, 64, 64, 3)
+        batch = vigor.device_batch(raw, train=True, sat_hw=(64, 64), bins=20)
+        assert batch["gt"].shape == (4, 64, 64, 1)
+        assert batch["gt_with_ori"].shape == (4, 64, 64, 20)
+        assert batch["orientation"].shape == (4, 64, 64, 2)
+        # normalized images should have roughly zero-ish mean after ImageNet
+        # normalization of uniform noise
+        assert abs(float(batch["grd"].mean())) < 2.0
+
+    def test_frozen_orientation(self, vigor_root):
+        idx = vigor.VigorIndex.load(vigor_root, "samearea", train=False)
+        frozen = np.linspace(0, 359, len(idx))
+        sampler = vigor.VigorSampler(idx, random_orientation=frozen,
+                                     grd_hw=(32, 64), sat_hw=(64, 64))
+        s3 = sampler(3)
+        assert abs(float(s3["angle"]) - frozen[3]) < 1e-5
+
+    def test_semi_positive_constraint(self, vigor_root):
+        idx = vigor.VigorIndex.load(vigor_root, "samearea", train=True)
+        idx.deltas[:, 1:] = 400.0  # only pos 0 satisfies |delta| < 320
+        sampler = vigor.VigorSampler(idx, pos_only=False,
+                                     grd_hw=(32, 64), sat_hw=(64, 64))
+        for i in range(4):
+            s = sampler(i)
+            want_r = np.round(idx.deltas[i, 0, 0] / 64 * 64)
+            assert float(s["row_offset"]) == want_r
+
+
+class TestPipeline:
+    def test_loader_preserves_order_and_errors(self):
+        def sample(i):
+            if i == 99:
+                raise ValueError("boom")
+            return {"x": np.full((2,), i, np.int32)}
+
+        loader = pipeline.Loader(sample, np.arange(10), batch_size=4,
+                                 num_workers=3, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        np.testing.assert_array_equal(batches[0]["x"][:, 0], [0, 1, 2, 3])
+
+        bad = pipeline.Loader(sample, np.asarray([1, 99]), batch_size=2)
+        with pytest.raises(ValueError):
+            list(bad)
+
+    def test_train_val_split_matches_reference_seed(self):
+        """Reference: np.random.seed(0); shuffle; 80/20
+        (``train_VIGOR.py:82-91``)."""
+        np.random.seed(0)
+        idx = np.arange(100)
+        np.random.shuffle(idx)
+        want_train, want_val = idx[:80], idx[80:]
+        got_train, got_val = pipeline.train_val_split(100, 0.2, seed=0)
+        np.testing.assert_array_equal(got_train, want_train)
+        np.testing.assert_array_equal(got_val, want_val)
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti"))
+    drive = "2011_09_26/2011_09_26_drive_0001_sync/"
+    name = drive + "0000000000.png"
+    _write_img(os.path.join(root, "satmap", name), (512, 512), 1)
+    _write_img(os.path.join(root, "raw_data", drive, "image_02/data",
+                            "0000000000.png"), (375, 1242), 2)
+    oxts = os.path.join(root, "raw_data", drive, "oxts/data",
+                        "0000000000.txt")
+    os.makedirs(os.path.dirname(oxts), exist_ok=True)
+    with open(oxts, "w") as f:
+        f.write("49.01 8.43 112.99 0.01 0.01 0.3 " + "0.0 " * 24 + "\n")
+    train_list = os.path.join(root, "train_files.txt")
+    with open(train_list, "w") as f:
+        f.write(name + "\n")
+    test_list = os.path.join(root, "test_files.txt")
+    with open(test_list, "w") as f:
+        f.write(f"{name} 0.31 -0.62 0.47\n")
+    return root
+
+
+class TestKitti:
+    def test_sampler_against_reference_dataset(self, torch_oracle,
+                                               kitti_root):
+        """Drive the reference SatGrdDatasetTest on the same synthetic root
+        and require identical aerial pixels and GT placement."""
+        torch = torch_oracle
+        import sys
+        from unittest.mock import MagicMock
+
+        tvf = MagicMock()
+
+        def _center_crop(img, size):
+            w, h = img.size
+            left = int(round((w - size) / 2.0))
+            top = int(round((h - size) / 2.0))
+            return img.crop((left, top, left + size, top + size))
+
+        tvf.center_crop = _center_crop
+        # `import a.b.c as TF` binds via getattr chains from the root module
+        # mock, so install the shim along that chain
+        sys.modules["torchvision.transforms.functional"] = tvf
+        sys.modules["torchvision"].transforms.functional = tvf
+        import importlib
+        import datasets as ref_datasets
+        importlib.reload(ref_datasets)
+        assert ref_datasets.TF.center_crop is _center_crop
+
+        to_array = lambda img: torch.from_numpy(
+            np.array(img.resize((1024, 256), Image.BILINEAR)
+                     if img.size != (512, 512) else img))
+        ref = ref_datasets.SatGrdDatasetTest(
+            root=kitti_root, file=os.path.join(kitti_root, "test_files.txt"),
+            transform=(to_array, to_array), rotation_range=10)
+        sat_ref, grd_ref, gt_ref, gwo_ref, omap_ref, angle_ref = ref[0]
+
+        index = kitti.KittiIndex.load(
+            kitti_root, os.path.join(kitti_root, "test_files.txt"), test=True)
+        sampler = kitti.KittiSampler(index, rotation_range=10)
+        s = sampler(0)
+
+        np.testing.assert_array_equal(s["sat"], sat_ref.numpy())
+        assert abs(float(s["angle"]) - float(angle_ref)) < 1e-5
+        # GT argmax must land on the same pixel
+        import jax.numpy as jnp
+        from ccvpe_tpu.ops.gt import gaussian_heatmap
+        mine = np.asarray(gaussian_heatmap(512, 512, float(s["row_offset"]),
+                                           float(s["col_offset"])))
+        np.testing.assert_allclose(mine, gt_ref.numpy()[0], atol=1e-5)
+        gwo = np.asarray(
+            __import__("ccvpe_tpu.ops.gt", fromlist=["gt_with_orientation"])
+            .gt_with_orientation(512, 512, float(s["row_offset"]),
+                                 float(s["col_offset"]), float(s["angle"]),
+                                 16, clockwise=False))
+        np.testing.assert_allclose(gwo.transpose(2, 0, 1), gwo_ref.numpy(),
+                                   atol=1e-5)
+
+    def test_meter_per_pixel(self):
+        # reference formula restated (datasets.py:368-372)
+        want = 156543.03392 * np.cos(49.015 * np.pi / 180.0) / 2 ** 18 / 2
+        assert abs(kitti.meter_per_pixel() - want) < 1e-12
+
+
+class TestOxford:
+    def test_utm_transform_fits_control_points(self):
+        t = oxford.utm_to_pixel_transform()
+        got = t(oxford._PRIMARY)
+        np.testing.assert_allclose(got, oxford._SECONDARY, atol=60)
+
+    def test_eval_crop_deterministic(self, tmp_path):
+        root = str(tmp_path) + "/"
+        _write_img(os.path.join(root, "map.png"), (2048, 2048), 5)
+        files = [f"f{i}.png 0 0 619500.0 5735900.0" for i in range(3)]
+        with open(root + "test1_j.txt", "w") as f:
+            f.write("\n".join(files[:1]) + "\n")
+        with open(root + "test2_j.txt", "w") as f:
+            f.write("\n".join(files[1:2]) + "\n")
+        with open(root + "test3_j.txt", "w") as f:
+            f.write("\n".join(files[2:]) + "\n")
+        np.save(root + "test_yaw.npy", np.asarray([0.3, 1.0, 4.0]))
+        for i in range(3):
+            _write_img(os.path.join(root, f"f{i}.png"), (160, 240), i)
+
+        idx = oxford.OxfordIndex.load(root, root + "map.png", "test")
+        assert idx.traversal_lengths == (1, 1, 1)
+        sampler = oxford.OxfordSampler(idx)
+        a = sampler(0)
+        b = sampler(0)
+        np.testing.assert_array_equal(a["sat"], b["sat"])
+        assert a["grd"].shape == (154, 231, 3)
+        assert a["sat"].shape == (512, 512, 3)
+        # yaw 0.3 rad west-CW -> north-CW degrees
+        want = 0.3 / np.pi * 180 - 90 + 360
+        assert abs(float(a["angle"]) - want) < 1e-4
