@@ -216,7 +216,7 @@ class TestOxford:
     def test_eval_crop_deterministic(self, tmp_path):
         root = str(tmp_path) + "/"
         _write_img(os.path.join(root, "map.png"), (2048, 2048), 5)
-        files = [f"f{i}.png 0 0 619500.0 5735900.0" for i in range(3)]
+        files = [f"f{i}.png 0 619500.0 5735900.0" for i in range(3)]
         with open(root + "test1_j.txt", "w") as f:
             f.write("\n".join(files[:1]) + "\n")
         with open(root + "test2_j.txt", "w") as f:
