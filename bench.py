@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: VIGOR query-aerial pairs/sec/chip.
+
+Runs the flagship CVM_VIGOR inference forward (320x640 panorama + 512x512
+aerial -> heatmap + orientation field, all 20 orientation bins) in a jitted
+steady-state loop on the default device and prints ONE JSON line.
+
+Baseline: the reference's published per-frame pose throughput, 14 FPS on GPU
+(``/root/reference/README.md:21``; see BASELINE.md).
+
+Env knobs:
+  CCVPE_BENCH_BATCH   global batch (default 32)
+  CCVPE_BENCH_DTYPE   float32 | bfloat16 activations (default bfloat16)
+  CCVPE_BENCH_ITERS   timed iterations (default 50)
+  CCVPE_BENCH_PRESET  model preset (default VIGOR)
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    batch = int(os.environ.get("CCVPE_BENCH_BATCH", "32"))
+    dtype_name = os.environ.get("CCVPE_BENCH_DTYPE", "bfloat16")
+    iters = int(os.environ.get("CCVPE_BENCH_ITERS", "50"))
+    preset = os.environ.get("CCVPE_BENCH_PRESET", "VIGOR")
+
+    import jax
+    import jax.numpy as jnp
+
+    from ccvpe_tpu.models import cvm
+
+    dev = jax.devices()[0]
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    cfg = cvm.PRESETS[preset]
+    params, state = cvm.init(jax.random.PRNGKey(0), cfg)
+
+    def one_forward(params, state, grd, sat):
+        out, _ = cvm.forward(cfg, params, state, grd.astype(dtype),
+                             sat.astype(dtype), train=False)
+        return out.heatmap, out.ori
+
+    @jax.jit
+    def timed_loop(params, state, grd, sat):
+        # Device-side loop: amortizes host<->device dispatch latency out of
+        # the measurement.  The carry perturbs the input so XLA cannot hoist
+        # the loop-invariant forward out of the scan.
+        def step(carry, _):
+            hm, ori = one_forward(params, state, grd + carry * 1e-6, sat)
+            return (jnp.sum(hm) + jnp.sum(ori)).astype(jnp.float32), None
+
+        total, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=iters)
+        return total
+
+    key = jax.random.PRNGKey(1)
+    grd = jax.random.normal(key, (batch, *cfg.grd_hw, 3), jnp.float32)
+    sat = jax.random.normal(key, (batch, *cfg.sat_hw, 3), jnp.float32)
+
+    float(timed_loop(params, state, grd, sat))  # compile + warmup
+    t0 = time.perf_counter()
+    float(timed_loop(params, state, grd, sat))  # fetch forces completion
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * iters / dt
+    baseline_fps = 14.0  # reference README.md:21
+    print(json.dumps({
+        "metric": f"{preset} inference throughput (batch {batch}, "
+                  f"{dtype_name}, {dev.platform})",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

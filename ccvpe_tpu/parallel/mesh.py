@@ -57,3 +57,35 @@ def replicate(mesh: Mesh, tree):
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+def tree_shardings(tree, mesh: Mesh, min_size: int = 100_000):
+    """Tensor-parallel layout rule applied uniformly to a state pytree.
+
+    Large weight tensors (params and their Adam moments alike, since the rule
+    is shape-driven) are sharded over the ``model`` axis along their largest
+    divisible dimension; everything else (BN stats, biases, counters) is
+    replicated.  GSPMD then partitions the matmuls and inserts the
+    collectives — no manual collective code.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    repl = replicated(mesh)
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if n_model > 1 and len(shape) >= 1 and size >= min_size:
+            ax = int(np.argmax(shape))
+            if shape[ax] % n_model == 0:
+                spec = [None] * len(shape)
+                spec[ax] = MODEL_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return repl
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
+def shard_tree(mesh: Mesh, tree, min_size: int = 100_000):
+    """Place a state pytree according to ``tree_shardings``."""
+    shardings = tree_shardings(tree, mesh, min_size)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

@@ -1,0 +1,172 @@
+"""Shared trainer/evaluator harness.
+
+The reference duplicates its train loop across three scripts
+(``train_VIGOR.py:109-241``, ``train_KITTI.py:104-277``,
+``train_OxfordRobotCar.py:88-207``); here one harness drives any dataset:
+prefetching host loader -> device batch assembly -> donated jitted train step,
+with per-epoch checkpointing (full TrainState) and the reference's
+results-file format (one scalar appended per epoch) plus JSON summaries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+import numpy as np
+import jax
+
+from ..io.checkpoint import CheckpointManager
+from ..parallel import mesh as mesh_lib
+from . import loop as train_loop
+from .metrics import PoseErrorAccumulator
+
+
+def append_result(results_dir: str, name: str, epoch: int, value: float,
+                  header: str):
+    """np.savetxt-append format of the reference (``train_VIGOR.py:221-241``)."""
+    os.makedirs(results_dir, exist_ok=True)
+    with open(os.path.join(results_dir, name), "ab") as f:
+        np.savetxt(f, [value], fmt="%4f", header=header,
+                   comments=f"{epoch}_")
+
+
+class Trainer:
+    def __init__(self, model_cfg, *, mesh=None, learning_rate: float = 1e-4,
+                 weight_info_nce: float = 1e4, weight_ori: float = 1e1,
+                 checkpoint_dir: str | None = None, results_dir: str = "results",
+                 label: str = "run", log_every: int = 200, seed: int = 17,
+                 batch_size: int | None = None):
+        self.model_cfg = model_cfg
+        if mesh is None:
+            # the data axis must divide the global batch
+            import jax as _jax
+            n = len(_jax.devices())
+            if batch_size:
+                while batch_size % n:
+                    n -= 1
+            mesh = mesh_lib.create_mesh(n_data=n)
+        self.mesh = mesh
+        self.optimizer = train_loop.make_optimizer(learning_rate)
+        self.results_dir = results_dir
+        self.label = label
+        self.log_every = log_every
+        self.rng = jax.random.PRNGKey(seed)
+
+        step = train_loop.make_train_step(
+            model_cfg, self.optimizer, weight_info_nce=weight_info_nce,
+            weight_ori=weight_ori)
+        self._train_step = train_loop.compile_train_step(step, self.mesh)
+        self._eval_steps: dict = {}
+
+        self.ckpt = (CheckpointManager(checkpoint_dir)
+                     if checkpoint_dir else None)
+        self.state = None
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, seed: int = 17):
+        state = train_loop.create_train_state(
+            self.model_cfg, jax.random.PRNGKey(seed), self.optimizer)
+        self.state = mesh_lib.replicate(self.mesh, state)
+        return self.state
+
+    def load_torch_checkpoint(self, path: str):
+        from ..io.torch_import import load_state_dict
+
+        state = train_loop.train_state_from_torch(load_state_dict(path),
+                                                  self.optimizer)
+        self.state = mesh_lib.replicate(self.mesh, state)
+        return self.state
+
+    def resume(self):
+        if self.ckpt and self.ckpt.latest_step() is not None:
+            if self.state is None:
+                self.init_state()
+            self.state = self.ckpt.restore(
+                jax.device_get(self.state))
+            self.state = mesh_lib.replicate(self.mesh, self.state)
+            return True
+        return False
+
+    # -- train ------------------------------------------------------------
+    def train_epoch(self, loader, device_batch_fn: Callable, epoch: int):
+        assert self.state is not None, "call init_state() first"
+        running, t0, n = 0.0, time.time(), 0
+        pairs = 0
+        for i, raw in enumerate(loader):
+            batch = device_batch_fn(raw)
+            batch = mesh_lib.shard_batch(self.mesh, batch)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, parts = self._train_step(self.state, batch, step_rng)
+            running += float(parts["loss"])
+            n += 1
+            pairs += int(batch["gt"].shape[0])
+            if (i + 1) % self.log_every == 0:
+                dt = time.time() - t0
+                print(f"[{epoch}, {i + 1:5d}] loss: {running / n:.3f} "
+                      f"({pairs / dt:.1f} pairs/s)")
+                running, n = 0.0, 0
+        if self.ckpt:
+            self.ckpt.save(epoch, jax.device_get(self.state), wait=True)
+        return pairs / max(time.time() - t0, 1e-9)
+
+    # -- eval -------------------------------------------------------------
+    def _get_eval_step(self, loc_offsets):
+        key = tuple(loc_offsets) if loc_offsets is not None else None
+        if key not in self._eval_steps:
+            fn = train_loop.make_eval_step(self.model_cfg, loc_offsets)
+            self._eval_steps[key] = train_loop.compile_eval_step(fn, self.mesh)
+        return self._eval_steps[key]
+
+    def evaluate(self, loader, device_batch_fn: Callable, *,
+                 meter_per_pixel, loc_offsets=None, cities_to_mpp=None,
+                 with_heading: bool = False) -> dict:
+        """Run a full eval pass; returns the metric summary dict.
+
+        ``meter_per_pixel``: scalar, or None with ``cities_to_mpp`` to derive
+        per-sample conversions from a batch 'city' field (VIGOR,
+        reference ``train_VIGOR.py:193-200``).
+        """
+        assert self.state is not None
+        step = self._get_eval_step(loc_offsets)
+        acc = PoseErrorAccumulator()
+        t0, pairs = time.time(), 0
+        for raw in loader:
+            batch = device_batch_fn(raw)
+            grd, sat = mesh_lib.shard_batch(self.mesh,
+                                            (batch["grd"], batch["sat"]))
+            out = step(self.state.params, self.state.bn_state, grd, sat)
+            if cities_to_mpp is not None:
+                mpp = np.asarray([cities_to_mpp[c] for c in raw["city"]])
+            else:
+                mpp = meter_per_pixel
+            acc.update(np.asarray(out.heatmap), np.asarray(batch["gt"]),
+                       np.asarray(out.ori), np.asarray(batch["orientation"]),
+                       mpp,
+                       orientation_from_north=(
+                           raw.get("orientation_from_north")
+                           if with_heading else None))
+            pairs += int(batch["gt"].shape[0])
+        summary = acc.summary()
+        summary["pairs_per_sec"] = pairs / max(time.time() - t0, 1e-9)
+        return summary
+
+    def write_epoch_results(self, epoch: int, summary: dict,
+                            prefix: str = ""):
+        mapping = {
+            "mean_distance_m": "mean_distance_error",
+            "median_distance_m": "median_distance_error",
+            "mean_orientation_deg": "mean_orientation_error",
+            "median_orientation_deg": "median_orientation_error",
+        }
+        for key, stem in mapping.items():
+            if key in summary:
+                append_result(self.results_dir,
+                              f"{self.label}_{prefix}{stem}.txt", epoch,
+                              summary[key], f"{self.label}_{prefix}{stem}:")
+        with open(os.path.join(self.results_dir,
+                               f"{self.label}_{prefix}summary.json"),
+                  "a") as f:
+            f.write(json.dumps({"epoch": epoch, **summary}) + "\n")

@@ -90,14 +90,22 @@ def make_eval_step(model_cfg: cvm.CVMConfig, loc_offsets=None):
     return eval_step
 
 
-def compile_train_step(train_step, mesh, donate: bool = True):
-    """Jit a train step over a mesh: state replicated, batch data-sharded."""
+def compile_train_step(train_step, mesh, donate: bool = True,
+                       state_shardings=None):
+    """Jit a train step over a mesh.
+
+    Default layout: state replicated, batch sharded over the data axis (pure
+    DP).  Pass ``state_shardings`` (e.g. from
+    ``parallel.mesh.tree_shardings``) for hybrid data+tensor parallelism —
+    large weights and their optimizer moments sharded over the model axis.
+    """
     repl = mesh_lib.replicated(mesh)
     data = mesh_lib.data_sharded(mesh)
+    state_sh = repl if state_shardings is None else state_shardings
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""KITTI train/eval entry point — mirrors the reference CLI
+(``/root/reference/train_KITTI.py:24-32``): ``--training -l -b --weight_ori
+--weight_infoNCE --shift_range_lat --shift_range_lon --rotation_range``, with
+dataset paths lifted to flags.  Training runs 6 epochs with per-epoch eval on
+both test splits; ``--training False`` additionally reports the
+lateral/longitudinal decomposition and <1/3/5 m·deg recalls
+(``train_KITTI.py:355-360``)."""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--training", choices=("True", "False"), default="True")
+    p.add_argument("-l", "--learning_rate", type=float, default=1e-4)
+    p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--weight_ori", type=float, default=1e1)
+    p.add_argument("--weight_infoNCE", type=float, default=1e4)
+    p.add_argument("--shift_range_lat", type=float, default=20)
+    p.add_argument("--shift_range_lon", type=float, default=20)
+    p.add_argument("--rotation_range", type=float, default=180)
+    # framework flags
+    p.add_argument("--dataset_root", type=str,
+                   default=os.environ.get("KITTI_ROOT", "datasets/KITTI"))
+    p.add_argument("--train_file", type=str, default="")
+    p.add_argument("--test1_file", type=str, default="")
+    p.add_argument("--test2_file", type=str, default="")
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--steps_per_epoch", type=int, default=0)
+    p.add_argument("--checkpoint_dir", type=str, default="")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--test_model_path", type=str,
+                   default="models/KITTI/no_orientation_prior/model.pt")
+    p.add_argument("--model_preset", type=str, default="KITTI")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    training = args.training == "True"
+    label = f"KITTI_rotation_range{args.rotation_range}"
+
+    from ccvpe_tpu.data import kitti, pipeline
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.parallel import mesh as mesh_lib
+    from ccvpe_tpu.train.harness import Trainer
+
+    mesh_lib.maybe_init_distributed()
+    cfg = cvm.PRESETS[args.model_preset]
+    trainer = Trainer(
+        cfg, learning_rate=args.learning_rate,
+        weight_info_nce=args.weight_infoNCE, weight_ori=args.weight_ori,
+        checkpoint_dir=args.checkpoint_dir or f"models/KITTI/{label}",
+        results_dir=args.results_dir, label=label,
+        batch_size=args.batch_size)
+
+    root = args.dataset_root
+    train_file = args.train_file or os.path.join(root, "train_files.txt")
+    test_files = [args.test1_file or os.path.join(root, "test1_files.txt"),
+                  args.test2_file or os.path.join(root, "test2_files.txt")]
+
+    mpp = kitti.meter_per_pixel()
+    kw = dict(shift_range_lat=args.shift_range_lat,
+              shift_range_lon=args.shift_range_lon,
+              rotation_range=args.rotation_range,
+              grd_hw=cfg.grd_hw, sat_hw=cfg.sat_hw)
+    dev_train = lambda raw: kitti.device_batch(
+        raw, train=True, sat_hw=cfg.sat_hw, bins=cfg.bins)
+    dev_eval = lambda raw: kitti.device_batch(
+        raw, train=False, sat_hw=cfg.sat_hw, bins=cfg.bins)
+
+    def limit(idx):
+        if args.steps_per_epoch:
+            return idx[:args.steps_per_epoch * args.batch_size]
+        return idx
+
+    test_samplers = []
+    for tf in test_files:
+        if os.path.exists(tf):
+            tindex = kitti.KittiIndex.load(root, tf, test=True)
+            test_samplers.append(kitti.KittiSampler(tindex, **kw))
+        else:
+            test_samplers.append(None)
+
+    def eval_split(i, with_heading=False):
+        sampler = test_samplers[i]
+        if sampler is None:
+            return None
+        loader = pipeline.Loader(sampler,
+                                 limit(np.arange(len(sampler.index))),
+                                 args.batch_size, args.num_workers)
+        return trainer.evaluate(loader, dev_eval, meter_per_pixel=mpp,
+                                with_heading=with_heading)
+
+    if training:
+        index = kitti.KittiIndex.load(root, train_file, test=False)
+        sampler = kitti.KittiSampler(index, **kw)
+        if not (args.resume and trainer.resume()):
+            trainer.init_state()
+        rng = np.random.default_rng(0)
+        for epoch in range(args.epochs):
+            order = limit(np.arange(len(index)))
+            rng.shuffle(order)
+            loader = pipeline.Loader(sampler, order, args.batch_size,
+                                     args.num_workers)
+            pps = trainer.train_epoch(loader, dev_train, epoch)
+            print(f"epoch {epoch}: {pps:.1f} train pairs/s")
+            for i in range(2):
+                summary = eval_split(i)
+                if summary:
+                    print(f"epoch {epoch} test{i + 1}: {summary}")
+                    trainer.write_epoch_results(epoch, summary,
+                                                prefix=f"test{i + 1}_")
+        print("Finished Training")
+    else:
+        if args.test_model_path.endswith(".pt"):
+            trainer.load_torch_checkpoint(args.test_model_path)
+        else:
+            trainer.init_state()
+            trainer.resume()
+        results = {}
+        for i in range(2):
+            summary = eval_split(i, with_heading=True)
+            if not summary:
+                continue
+            results[f"test{i + 1}"] = summary
+            print("---------------------------------------")
+            print(f"Test {i + 1} set")
+            print("mean localization error (m): ", summary["mean_distance_m"])
+            print("median localization error (m): ",
+                  summary["median_distance_m"])
+            print("mean orientation error (degrees): ",
+                  summary.get("mean_orientation_deg"))
+            print("median orientation error (degrees): ",
+                  summary.get("median_orientation_deg"))
+            for axis in ("lateral", "longitudinal"):
+                print(f"{axis} recall <1/3/5 m: ",
+                      [summary.get(f"{axis}_recall@{t}m") for t in (1, 3, 5)])
+            print("orientation recall <1/3/5 deg: ",
+                  [summary.get(f"orientation_recall@{t}deg")
+                   for t in (1, 3, 5)])
+        return results
+
+
+if __name__ == "__main__":
+    main()

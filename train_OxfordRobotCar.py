@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Oxford RobotCar train/eval entry point — mirrors the reference CLI
+(``/root/reference/train_OxfordRobotCar.py:26-31``): ``--training -l -b
+--weight_ori --weight_infoNCE``.  Training runs 50 epochs with per-epoch
+validation; ``--training False`` evaluates the three test traversals
+separately (streaming per-frame pose, reference ``:74-83, 209-397``)."""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--training", choices=("True", "False"), default="True")
+    p.add_argument("-l", "--learning_rate", type=float, default=1e-4)
+    p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--weight_ori", type=float, default=1e1)
+    p.add_argument("--weight_infoNCE", type=float, default=1e4)
+    # framework flags
+    p.add_argument("--grd_image_root", type=str,
+                   default=os.environ.get("OXFORD_ROOT",
+                                          "datasets/Oxford_5m_sampling/"))
+    p.add_argument("--sat_path", type=str, default="")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--steps_per_epoch", type=int, default=0)
+    p.add_argument("--checkpoint_dir", type=str, default="")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--test_model_path", type=str,
+                   default="models/OxfordRobotCar/model.pt")
+    p.add_argument("--model_preset", type=str, default="OxfordRobotCar")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    training = args.training == "True"
+    label = "OxfordRobotCar"
+    sat_path = args.sat_path or os.path.join(args.grd_image_root,
+                                             "satellite_map_new.png")
+
+    from ccvpe_tpu.data import oxford, pipeline
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.parallel import mesh as mesh_lib
+    from ccvpe_tpu.train.harness import Trainer
+    from ccvpe_tpu.train.metrics import OXFORD_METER_PER_PIXEL
+
+    mesh_lib.maybe_init_distributed()
+    cfg = cvm.PRESETS[args.model_preset]
+    trainer = Trainer(
+        cfg, learning_rate=args.learning_rate,
+        weight_info_nce=args.weight_infoNCE, weight_ori=args.weight_ori,
+        checkpoint_dir=args.checkpoint_dir or f"models/OxfordRobotCar/{label}",
+        results_dir=args.results_dir, label=label,
+        batch_size=args.batch_size)
+
+    dev_train = lambda raw: oxford.device_batch(
+        raw, train=True, sat_hw=cfg.sat_hw, bins=cfg.bins)
+    dev_eval = lambda raw: oxford.device_batch(
+        raw, train=False, sat_hw=cfg.sat_hw, bins=cfg.bins)
+
+    def limit(idx):
+        if args.steps_per_epoch:
+            return idx[:args.steps_per_epoch * args.batch_size]
+        return idx
+
+    if training:
+        train_index = oxford.OxfordIndex.load(args.grd_image_root, sat_path,
+                                              "train")
+        val_index = oxford.OxfordIndex.load(args.grd_image_root, sat_path,
+                                            "val")
+        train_sampler = oxford.OxfordSampler(train_index, grd_hw=cfg.grd_hw,
+                                             sat_hw=cfg.sat_hw)
+        val_sampler = oxford.OxfordSampler(val_index, grd_hw=cfg.grd_hw,
+                                           sat_hw=cfg.sat_hw)
+        if not (args.resume and trainer.resume()):
+            trainer.init_state()
+        rng = np.random.default_rng(0)
+        for epoch in range(args.epochs):
+            order = limit(np.arange(len(train_index)))
+            rng.shuffle(order)
+            loader = pipeline.Loader(train_sampler, order, args.batch_size,
+                                     args.num_workers)
+            pps = trainer.train_epoch(loader, dev_train, epoch)
+            print(f"epoch {epoch}: {pps:.1f} train pairs/s")
+            val_loader = pipeline.Loader(val_sampler,
+                                         limit(np.arange(len(val_index))),
+                                         args.batch_size, args.num_workers)
+            summary = trainer.evaluate(val_loader, dev_eval,
+                                       meter_per_pixel=OXFORD_METER_PER_PIXEL)
+            print(f"epoch {epoch} validation: {summary}")
+            trainer.write_epoch_results(epoch, summary)
+        print("Finished Training")
+    else:
+        index = oxford.OxfordIndex.load(args.grd_image_root, sat_path, "test")
+        sampler = oxford.OxfordSampler(index, grd_hw=cfg.grd_hw,
+                                       sat_hw=cfg.sat_hw)
+        if args.test_model_path.endswith(".pt"):
+            trainer.load_torch_checkpoint(args.test_model_path)
+        else:
+            trainer.init_state()
+            trainer.resume()
+        results = {}
+        start = 0
+        for t, length in enumerate(index.traversal_lengths, 1):
+            idx = limit(np.arange(start, start + length))
+            start += length
+            loader = pipeline.Loader(sampler, idx, args.batch_size,
+                                     args.num_workers)
+            summary = trainer.evaluate(loader, dev_eval,
+                                       meter_per_pixel=OXFORD_METER_PER_PIXEL,
+                                       with_heading=False)
+            results[f"test{t}"] = summary
+            print("---------------------------------------")
+            print(f"Test traversal {t}")
+            print("mean localization error (m): ", summary["mean_distance_m"])
+            print("median localization error (m): ",
+                  summary["median_distance_m"])
+            print("mean orientation error (degrees): ",
+                  summary.get("mean_orientation_deg"))
+            print("median orientation error (degrees): ",
+                  summary.get("median_orientation_deg"))
+            print("throughput (pairs/s): ", summary["pairs_per_sec"])
+        return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""VIGOR train/eval entry point — public surface mirrors the reference CLI
+(``/root/reference/train_VIGOR.py:25-34``): ``--area --training --pos_only
+-l -b --weight_ori --weight_infoNCE -f/--FoV --ori_noise``, plus framework
+flags (dataset root lifted from the reference's hard-coded path, checkpoint
+dir, workers, resume).
+
+Training: 15 epochs Adam(1e-4), 80/20 split with the reference's seed,
+per-epoch checkpoint + validation metrics.  Eval (``--training False``):
+orientation-prior model (restricted matching bins), frozen test orientations
+for unknown-orientation eval, limited-FoV panorama cropping.
+"""
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--area", type=str, default="samearea",
+                   help="samearea or crossarea")
+    p.add_argument("--training", choices=("True", "False"), default="True")
+    p.add_argument("--pos_only", choices=("True", "False"), default="True")
+    p.add_argument("-l", "--learning_rate", type=float, default=1e-4)
+    p.add_argument("-b", "--batch_size", type=int, default=8)
+    p.add_argument("--weight_ori", type=float, default=1e1)
+    p.add_argument("--weight_infoNCE", type=float, default=1e4)
+    p.add_argument("-f", "--FoV", type=int, default=360)
+    p.add_argument("--ori_noise", type=float, default=180.0,
+                   help="orientation prior noise; 180 = unknown orientation")
+    # framework flags
+    p.add_argument("--dataset_root", type=str,
+                   default=os.environ.get("VIGOR_ROOT", "datasets/VIGOR"))
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--steps_per_epoch", type=int, default=0,
+                   help="limit steps per epoch (0 = full epoch)")
+    p.add_argument("--checkpoint_dir", type=str, default="")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--test_model_path", type=str,
+                   default="models/VIGOR/samearea/model.pt",
+                   help="torch or orbax checkpoint to evaluate")
+    p.add_argument("--orientation_dir", type=str, default=".",
+                   help="directory holding *_orientation_test.npy fixtures")
+    p.add_argument("--model_preset", type=str, default="VIGOR")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    training = args.training == "True"
+    pos_only = args.pos_only == "True"
+    ori_noise = 18 * (args.ori_noise // 18)  # reference train_VIGOR.py:49
+    label = f"{args.area}_HFoV{args.FoV}"
+    circular = args.FoV == 360  # reference train_VIGOR.py:52-55
+
+    from ccvpe_tpu.data import pipeline, vigor
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.parallel import mesh as mesh_lib
+    from ccvpe_tpu.train.harness import Trainer
+    from ccvpe_tpu.train.metrics import VIGOR_METER_PER_PIXEL
+
+    mesh_lib.maybe_init_distributed()
+    cfg = dataclasses.replace(cvm.PRESETS[args.model_preset],
+                              circular=circular)
+    trainer = Trainer(
+        cfg, learning_rate=args.learning_rate,
+        weight_info_nce=args.weight_infoNCE, weight_ori=args.weight_ori,
+        checkpoint_dir=args.checkpoint_dir or f"models/VIGOR/{label}",
+        results_dir=args.results_dir, label=label,
+        batch_size=args.batch_size)
+
+    grd_hw, sat_hw = cfg.grd_hw, cfg.sat_hw
+
+    def crop_fov(batch):
+        if args.FoV < 360:
+            w = int(batch["grd"].shape[2] * args.FoV / 360)
+            batch = dict(batch, grd=batch["grd"][:, :, :w])
+        return batch
+
+    if training:
+        index = vigor.VigorIndex.load(args.dataset_root, args.area, True)
+        sampler = vigor.VigorSampler(index, pos_only=pos_only,
+                                     ori_noise=ori_noise, grd_hw=grd_hw,
+                                     sat_hw=sat_hw)
+        train_idx, val_idx = pipeline.train_val_split(len(index))
+        if args.steps_per_epoch:
+            train_idx = train_idx[:args.steps_per_epoch * args.batch_size]
+            val_idx = val_idx[:args.steps_per_epoch * args.batch_size]
+
+        if not (args.resume and trainer.resume()):
+            trainer.init_state()
+        rng = np.random.default_rng(0)
+
+        dev_train = lambda raw: crop_fov(vigor.device_batch(
+            raw, train=True, sat_hw=sat_hw, bins=cfg.bins))
+        dev_eval = lambda raw: crop_fov(vigor.device_batch(
+            raw, train=False, sat_hw=sat_hw, bins=cfg.bins))
+
+        for epoch in range(args.epochs):
+            order = train_idx.copy()
+            rng.shuffle(order)
+            loader = pipeline.Loader(sampler, order, args.batch_size,
+                                     args.num_workers)
+            pps = trainer.train_epoch(loader, dev_train, epoch)
+            print(f"epoch {epoch}: {pps:.1f} train pairs/s")
+            val_loader = pipeline.Loader(sampler, val_idx, args.batch_size,
+                                         args.num_workers)
+            summary = trainer.evaluate(val_loader, dev_eval,
+                                       meter_per_pixel=None,
+                                       cities_to_mpp=VIGOR_METER_PER_PIXEL)
+            print(f"epoch {epoch} validation: {summary}")
+            trainer.write_epoch_results(epoch, summary)
+        print("Finished Training")
+    else:
+        random_orientation = None
+        if ori_noise == 180:  # reference train_VIGOR.py:73-79
+            fname = os.path.join(args.orientation_dir,
+                                 f"{args.area}_orientation_test.npy")
+            random_orientation = np.load(fname)
+        index = vigor.VigorIndex.load(args.dataset_root, args.area, False)
+        sampler = vigor.VigorSampler(index, pos_only=pos_only,
+                                     ori_noise=ori_noise,
+                                     random_orientation=random_orientation,
+                                     grd_hw=grd_hw, sat_hw=sat_hw)
+        if args.test_model_path.endswith(".pt"):
+            trainer.load_torch_checkpoint(args.test_model_path)
+        else:
+            trainer.init_state()
+            trainer.resume()
+
+        n = int(ori_noise / 18)
+        loc_offsets = tuple(range(-n, n + 1))  # reference models.py:489
+        indices = np.arange(len(index))
+        if args.steps_per_epoch:
+            indices = indices[:args.steps_per_epoch * args.batch_size]
+        loader = pipeline.Loader(sampler, indices, args.batch_size,
+                                 args.num_workers)
+        dev_eval = lambda raw: crop_fov(vigor.device_batch(
+            raw, train=False, sat_hw=sat_hw, bins=cfg.bins))
+        summary = trainer.evaluate(loader, dev_eval, meter_per_pixel=None,
+                                   cities_to_mpp=VIGOR_METER_PER_PIXEL,
+                                   loc_offsets=loc_offsets)
+        print("mean localization error (m): ", summary["mean_distance_m"])
+        print("median localization error (m): ", summary["median_distance_m"])
+        print("---------------------------------------")
+        print("mean orientation error (degrees): ",
+              summary.get("mean_orientation_deg"))
+        print("median orientation error (degrees): ",
+              summary.get("median_orientation_deg"))
+        print("---------------------------------------")
+        print("mean probability at gt", summary.get("mean_probability_at_gt"))
+        print("median probability at gt",
+              summary.get("median_probability_at_gt"))
+        return summary
+
+
+if __name__ == "__main__":
+    main()
