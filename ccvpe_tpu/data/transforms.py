@@ -16,6 +16,7 @@ Numerical conventions mirrored from the reference drivers:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -26,12 +27,29 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def _use_native() -> bool:
+    if os.environ.get("CCVPE_NATIVE_LOADER", "0") != "1":
+        return False
+    from . import native_loader
+
+    return native_loader.available()
+
+
 def load_image(path: str, size_hw: tuple[int, int] | None = None,
                fallback_hw: tuple[int, int] | None = None) -> np.ndarray:
     """Decode to RGB uint8 [H, W, 3], optionally PIL-bilinear resized.
 
     Unreadable files fall back to a blank image like the reference
-    (``datasets.py:100-105``)."""
+    (``datasets.py:100-105``).  Set ``CCVPE_NATIVE_LOADER=1`` to route
+    decode+resize through the C++ loader (Pillow-exact resampling; JPEG IDCT
+    may differ from PIL by sub-LSB rounding)."""
+    if size_hw is not None and _use_native():
+        from . import native_loader
+
+        out, status = native_loader.load_batch([path], size_hw, n_threads=1)
+        if status[0] == 0:
+            return out[0]
+        return np.zeros((*size_hw, 3), np.uint8)
     try:
         img = Image.open(path).convert("RGB")
     except Exception:

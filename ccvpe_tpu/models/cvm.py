@@ -264,7 +264,8 @@ def _sat_descriptor_grid(params, feat):
 
 def forward(cfg: CVMConfig, params, state, grd, sat, *,
             train: bool = False, rng=None, loc_offsets=None,
-            use_reference_matching: bool = False):
+            use_reference_matching: bool = False,
+            matching_impl: str = "einsum"):
     """Full CVM forward.
 
     Args:
@@ -276,11 +277,25 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
         variant (``models.py:489``).
       use_reference_matching: route matching through the naive roll
         formulation (numerics pinning / interpret mode).
+      matching_impl: 'einsum' (default), 'pallas' (fused TPU kernel where the
+        channel count makes it profitable, einsum elsewhere), or 'reference'.
 
     Returns: (CVMOutputs, new_state)
     """
-    match = matching_scores_reference if use_reference_matching else \
-        matching_scores
+    if use_reference_matching or matching_impl == "reference":
+        match = matching_scores_reference
+    elif matching_impl == "pallas":
+        from ..ops.pallas_matching import matching_scores_pallas
+
+        def match(x, g, shift, offsets, window):
+            # lane-padding makes the fused kernel unprofitable below ~128
+            # channels (see benchmarks); dispatch per scale
+            if x.shape[-1] >= 128:
+                return matching_scores_pallas(x, g, shift, tuple(offsets),
+                                              window)
+            return matching_scores(x, g, shift, offsets, window)
+    else:
+        match = matching_scores
     full_bins = tuple(range(cfg.bins))
     loc_bins = full_bins if loc_offsets is None else tuple(loc_offsets)
 

@@ -80,12 +80,20 @@ def matching_scores(x, g, shift: int, offsets: tuple[int, ...],
     w = jnp.stack(
         [jnp.roll(gp, (start + i * shift) % cs, axis=1) for i in offsets],
         axis=-1)  # [B, Cs, bins]
-    mask = jnp.asarray(_window_mask(cs, cg, start, shift, offsets))
 
     num = jnp.einsum("bhwc,bci->bhwi", x, w.astype(x.dtype),
                      precision=precision, preferred_element_type=jnp.float32)
-    sq = jnp.einsum("bhwc,ci->bhwi", jnp.square(x), mask.astype(x.dtype),
-                    precision=precision, preferred_element_type=jnp.float32)
+    if cg == cs:
+        # every rolled window covers all channels (true at all six VIGOR
+        # scales): the window norm is bin-independent — one reduction
+        # replaces the masked matmul
+        sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+    else:
+        mask = jnp.asarray(_window_mask(cs, cg, start, shift, offsets))
+        sq = jnp.einsum("bhwc,ci->bhwi", jnp.square(x), mask.astype(x.dtype),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
     gnorm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)), axis=-1))
     return (num / (jnp.sqrt(sq) * gnorm[:, None, None, None])).astype(x.dtype)
 
