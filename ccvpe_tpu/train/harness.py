@@ -38,7 +38,7 @@ class Trainer:
                  weight_info_nce: float = 1e4, weight_ori: float = 1e1,
                  checkpoint_dir: str | None = None, results_dir: str = "results",
                  label: str = "run", log_every: int = 200, seed: int = 17,
-                 batch_size: int | None = None):
+                 batch_size: int | None = None, profile_dir: str | None = None):
         self.model_cfg = model_cfg
         if mesh is None:
             # the data axis must divide the global batch
@@ -64,6 +64,8 @@ class Trainer:
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
         self.state = None
+        self.profile_dir = profile_dir
+        self._profiled = False
 
     # -- state ------------------------------------------------------------
     def init_state(self, seed: int = 17):
@@ -96,10 +98,17 @@ class Trainer:
         running, t0, n = 0.0, time.time(), 0
         pairs = 0
         for i, raw in enumerate(loader):
+            if self.profile_dir and not self._profiled and i == 10:
+                jax.profiler.start_trace(self.profile_dir)
             batch = device_batch_fn(raw)
             batch = mesh_lib.shard_batch(self.mesh, batch)
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, parts = self._train_step(self.state, batch, step_rng)
+            if self.profile_dir and not self._profiled and i == 13:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), parts)
+                jax.profiler.stop_trace()
+                self._profiled = True
             running += float(parts["loss"])
             n += 1
             pairs += int(batch["gt"].shape[0])
