@@ -57,10 +57,15 @@ def _bn(sd, prefix):
     return params, state
 
 
-def import_b0(sd, prefix: str = "", num_blocks: int = 16):
+def import_b0(sd, prefix: str = "", num_blocks: int | None = None):
     """Convert an EfficientNet state_dict subtree (keys ``_conv_stem.*``,
-    ``_blocks.N.*``, ``_conv_head.*``) to (params, state)."""
+    ``_blocks.N.*``, ``_conv_head.*``) to (params, state).  Works for any
+    B0-B7 scaling (block count auto-detected)."""
     p = prefix
+    if num_blocks is None:
+        num_blocks = 1 + max(
+            int(k[len(p) + 8:].split(".")[0]) for k in sd
+            if k.startswith(p + "_blocks."))
     params = {"conv_stem": {"w": _conv_w(sd[p + "_conv_stem.weight"])}}
     state = {}
     params["bn0"], state["bn0"] = _bn(sd, p + "_bn0")

@@ -32,6 +32,7 @@ the 1280-channel output of the head conv, mirroring ``extract_features``
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -87,10 +88,58 @@ NANO_BLOCK_ARGS = (
     BlockArgs(1, 3, 2, 2, 24, 32, 0.25),
 )
 
-BACKBONES = {
-    "b0": (B0_BLOCK_ARGS, B0_STEM_CH, B0_HEAD_CH),
-    "nano": (NANO_BLOCK_ARGS, 8, 256),
+# (width_coefficient, depth_coefficient, resolution) per model
+# (reference ``efficientnet_pytorch/utils.py:611-623``; dropout unused here)
+EFFICIENTNET_PARAMS = {
+    "efficientnet-b0": (1.0, 1.0, 224),
+    "efficientnet-b1": (1.0, 1.1, 240),
+    "efficientnet-b2": (1.1, 1.2, 260),
+    "efficientnet-b3": (1.2, 1.4, 300),
+    "efficientnet-b4": (1.4, 1.8, 380),
+    "efficientnet-b5": (1.6, 2.2, 456),
+    "efficientnet-b6": (1.8, 2.6, 528),
+    "efficientnet-b7": (2.0, 3.1, 600),
 }
+
+
+def round_filters(filters: int, width: float, divisor: int = 8) -> int:
+    """Width scaling (reference ``efficientnet_pytorch/utils.py:83-107``)."""
+    if width == 1.0:
+        return filters
+    filters *= width
+    new = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new < 0.9 * filters:  # don't round down by more than 10%
+        new += divisor
+    return int(new)
+
+
+def round_repeats(repeats: int, depth: float) -> int:
+    """Depth scaling (reference ``efficientnet_pytorch/utils.py:110-126``)."""
+    if depth == 1.0:
+        return repeats
+    return int(math.ceil(depth * repeats))
+
+
+def scaled_block_args(width: float, depth: float):
+    return tuple(
+        a._replace(num_repeat=round_repeats(a.num_repeat, depth),
+                   cin=round_filters(a.cin, width),
+                   cout=round_filters(a.cout, width))
+        for a in B0_BLOCK_ARGS)
+
+
+def _efficientnet_backbone(name: str):
+    width, depth, res = EFFICIENTNET_PARAMS[name]
+    return (scaled_block_args(width, depth), round_filters(32, width),
+            round_filters(1280, width), res)
+
+
+BACKBONES = {
+    "b0": (B0_BLOCK_ARGS, B0_STEM_CH, B0_HEAD_CH, B0_IMAGE_SIZE),
+    "nano": (NANO_BLOCK_ARGS, 8, 256, B0_IMAGE_SIZE),
+}
+BACKBONES.update({name.split("-")[1]: _efficientnet_backbone(name)
+                  for name in EFFICIENTNET_PARAMS})
 
 
 class BlockSpec(NamedTuple):
@@ -128,8 +177,8 @@ def _block_spec(args: BlockArgs, traced_hw, circular: bool):
 def backbone_config(name: str, circular: bool = False) -> B0Config:
     """Build a static backbone spec, tracking the construction-time image
     size the same way the reference constructor does (``model.py:174-208``)."""
-    block_args, stem_ch, head_ch = BACKBONES[name]
-    hw = (B0_IMAGE_SIZE, B0_IMAGE_SIZE)
+    block_args, stem_ch, head_ch, image_size = BACKBONES[name]
+    hw = (image_size, image_size)
     stem = ConvSpec(3, stem_ch, 3, 2, pad=same_pad(hw, 3, 2),
                     circular=circular)
     hw = traced_output_hw(hw, 2)

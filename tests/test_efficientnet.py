@@ -91,3 +91,28 @@ def test_b0_init_shapes_match_import():
         assert ka == kb
         assert va.shape == vb.shape, f"{ka}: {va.shape} vs {vb.shape}"
     assert jax.tree_util.tree_structure(s_imp) == jax.tree_util.tree_structure(s_new)
+
+
+def test_b1_scaled_backbone_parity(torch_oracle):
+    """round_filters/round_repeats + the per-model traced image size (240)
+    must reproduce EfficientNet-B1 exactly."""
+    torch = torch_oracle
+    from efficientnet_pytorch.model import EfficientNet
+
+    model = EfficientNet.from_name("efficientnet-b1", False)
+    model.eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    cfg = effnet.backbone_config("b1")
+    assert len(cfg.blocks) == 23
+    params, state = import_b0(sd)
+
+    x = np.random.default_rng(9).standard_normal((1, 3, 64, 96),
+                                                 dtype=np.float32)
+    with torch.no_grad():
+        ref = model.extract_features(torch.tensor(x)).numpy()
+    feat, _, _ = effnet.b0_apply(cfg, params, state,
+                                 jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                 train=False)
+    assert_close(np.asarray(feat).transpose(0, 3, 1, 2), ref, atol=2e-4,
+                 rtol=1e-3)
