@@ -53,18 +53,27 @@ def train_state_from_torch(state_dict, optimizer) -> TrainState:
 
 
 def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
-                    weight_info_nce: float = 1e4, weight_ori: float = 1e1):
+                    weight_info_nce: float = 1e4, weight_ori: float = 1e1,
+                    remat: bool = False):
     """Build the jittable train step.
 
     batch dict (NHWC): grd, sat, gt [B,H,W,1], gt_with_ori [B,H,W,bins],
     orientation [B,H,W,2].
+
+    ``remat=True`` rematerializes the forward in the backward pass
+    (``jax.checkpoint``), trading FLOPs for activation memory — the lever for
+    scaling per-chip batch on HBM-limited chips.
     """
 
     def train_step(state: TrainState, batch, rng):
+        def forward_fn(params, grd, sat):
+            return cvm.forward(model_cfg, params, state.bn_state, grd, sat,
+                               train=True, rng=rng)
+
+        fwd = jax.checkpoint(forward_fn) if remat else forward_fn
+
         def loss_fn(params):
-            out, new_bn = cvm.forward(
-                model_cfg, params, state.bn_state, batch["grd"], batch["sat"],
-                train=True, rng=rng)
+            out, new_bn = fwd(params, batch["grd"], batch["sat"])
             loss, parts = losses.total_loss(
                 out, batch["gt"], batch["gt_with_ori"], batch["orientation"],
                 weight_info_nce=weight_info_nce, weight_ori=weight_ori)

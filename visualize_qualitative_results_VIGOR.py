@@ -58,8 +58,13 @@ def main(argv=None):
     batch = vigor.device_batch(raw, train=False, sat_hw=cfg.sat_hw,
                                bins=cfg.bins)
 
-    from ccvpe_tpu.io.torch_import import import_cvm, load_state_dict
-    params, bn_state = import_cvm(load_state_dict(args.test_model_path))
+    if args.test_model_path and os.path.exists(args.test_model_path):
+        from ccvpe_tpu.io.torch_import import import_cvm, load_state_dict
+        params, bn_state = import_cvm(load_state_dict(args.test_model_path))
+    else:
+        print(f"checkpoint {args.test_model_path!r} not found; "
+              "using random weights")
+        params, bn_state = cvm.init(jax.random.PRNGKey(0), cfg)
     n = int(ori_noise / 18)
     eval_step = jax.jit(train_loop.make_eval_step(
         cfg, loc_offsets=tuple(range(-n, n + 1))))
