@@ -36,9 +36,19 @@ def torch_oracle():
     torch = pytest.importorskip("torch")
     from unittest.mock import MagicMock
 
+    import importlib.util
+
     for mod in ("torchvision", "torchvision.models", "torchvision.transforms",
                 "torchvision.utils", "matplotlib", "matplotlib.pyplot",
                 "IPython", "IPython.display", "torch.utils.tensorboard"):
+        root = mod.split(".")[0]
+        # stub only what is genuinely absent; matplotlib/IPython may be real
+        if root in ("matplotlib", "IPython"):
+            try:
+                if importlib.util.find_spec(root) is not None:
+                    continue
+            except ValueError:
+                continue  # already imported (possibly mocked earlier)
         sys.modules.setdefault(mod, MagicMock())
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)
