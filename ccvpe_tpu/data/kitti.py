@@ -132,7 +132,7 @@ class KittiSampler:
             resample=Image.BILINEAR)
         sat_rot2 = sat_rand_shift.rotate(random_ori)
         w, h = sat_rot2.size
-        side = SAT_PROCESS_SIDELENGTH
+        side = self.sat_hw[0]
         left = (w - side) // 2
         top = (h - side) // 2
         sat = np.asarray(

@@ -89,6 +89,7 @@ class OxfordSampler:
         self.rng = np.random.default_rng(seed)
         Image.MAX_IMAGE_PIXELS = None
         self._map = Image.open(index.sat_path)
+        self._map.load()  # decode once up front; crops are then thread-safe
 
     def _train_crop(self, image_coord):
         # random polar offset <= 200*sqrt(2) px (``datasets.py:290-304``)

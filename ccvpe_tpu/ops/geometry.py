@@ -93,6 +93,47 @@ def warp_affine(img, matrix, out_hw=None, method: str = "bilinear"):
     return out.astype(img.dtype)
 
 
+def rotate_matrix_traced(angle_deg, hw: tuple[int, int]):
+    """Traced-angle variant of ``pil_rotate_matrix`` (for jit/vmap batched
+    augmentation; skips PIL's round-to-15-decimals of the trig terms)."""
+    h, w = hw
+    cx, cy = w / 2.0, h / 2.0
+    a = -angle_deg * jnp.pi / 180.0
+    cos_a, sin_a = jnp.cos(a), jnp.sin(a)
+    c = cx - (cos_a * cx + sin_a * cy)
+    f = cy - (-sin_a * cx + cos_a * cy)
+    return (cos_a, sin_a, c, -sin_a, cos_a, f)
+
+
+def translate_matrix_traced(dx, dy):
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    return (one, zero, dx, zero, one, dy)
+
+
+def kitti_alignment_chain_batched(sat, heading, mpp: float, camera_shift,
+                                  shift_x, shift_y, random_ori,
+                                  side: int = 512):
+    """Batched, fully-traced device version of the KITTI aerial alignment
+    (training augmentation at scale): sat [B, H, W, 3] uint8, per-sample
+    heading (radians), shift_x/shift_y (pixels), random_ori (degrees)."""
+    hw = sat.shape[1:3]
+
+    def one(img, hd, sx, sy, ro):
+        x = warp_affine(img, rotate_matrix_traced(-hd / jnp.pi * 180, hw),
+                        method="nearest")
+        x = warp_affine(
+            x, translate_matrix_traced(jnp.float32(camera_shift[0] / mpp),
+                                       jnp.float32(camera_shift[1] / mpp)),
+            method="bilinear")
+        x = warp_affine(x, translate_matrix_traced(sx, -sy),
+                        method="bilinear")
+        x = warp_affine(x, rotate_matrix_traced(ro, hw), method="nearest")
+        return center_crop(x, side)
+
+    return jax.vmap(one)(sat, heading, shift_x, shift_y, random_ori)
+
+
 def center_crop(img, side: int):
     h, w = img.shape[:2]
     top = (h - side) // 2

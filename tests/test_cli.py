@@ -82,3 +82,122 @@ def test_eval_vigor_cli_smoke(synthetic_vigor, tmp_path):
     ])
     assert "median_distance_m" in summary
     assert np.isfinite(summary["median_distance_m"])
+
+
+@pytest.fixture(scope="module")
+def synthetic_kitti(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti_cli"))
+    drive = "2011_09_26/2011_09_26_drive_0001_sync/"
+
+    def wimg(path, hw, seed):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(np.random.default_rng(seed).integers(
+            0, 255, (*hw, 3), dtype=np.uint8)).save(path)
+
+    names = []
+    for i in range(8):
+        name = drive + f"{i:010d}.png"
+        names.append(name)
+        wimg(os.path.join(root, "satmap", name), (128, 128), i)
+        wimg(os.path.join(root, "raw_data", drive, "image_02/data",
+                          f"{i:010d}.png"), (94, 311), 50 + i)
+        oxts = os.path.join(root, "raw_data", drive, "oxts/data",
+                            f"{i:010d}.txt")
+        os.makedirs(os.path.dirname(oxts), exist_ok=True)
+        with open(oxts, "w") as f:
+            f.write(f"49.01 8.43 112.9 0.0 0.0 {0.1 * i} "
+                    + "0.0 " * 24 + "\n")
+    with open(os.path.join(root, "train_files.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    for tn in ("test1_files.txt", "test2_files.txt"):
+        with open(os.path.join(root, tn), "w") as f:
+            f.write("\n".join(f"{n} 0.2 -0.4 0.3" for n in names[:4]) + "\n")
+    return root
+
+
+def test_train_kitti_cli_smoke(synthetic_kitti, tmp_path):
+    import train_KITTI
+
+    train_KITTI.main([
+        "--dataset_root", synthetic_kitti,
+        "--model_preset", "NANO",
+        "--rotation_range", "10",
+        "--epochs", "1",
+        "--steps_per_epoch", "1",
+        "-b", "4",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--results_dir", str(tmp_path / "results"),
+        "--num_workers", "2",
+    ])
+    files = os.listdir(tmp_path / "results")
+    assert any("test1" in f for f in files)
+
+
+def test_eval_kitti_cli_smoke(synthetic_kitti, tmp_path):
+    import train_KITTI
+
+    results = train_KITTI.main([
+        "--dataset_root", synthetic_kitti,
+        "--model_preset", "NANO",
+        "--training", "False",
+        "--rotation_range", "10",
+        "--steps_per_epoch", "1",
+        "-b", "4",
+        "--test_model_path", str(tmp_path / "nonexistent"),
+        "--results_dir", str(tmp_path / "results"),
+        "--num_workers", "2",
+    ])
+    assert "test1" in results and "test2" in results
+    assert "lateral_recall@5m" in results["test1"]
+
+
+@pytest.fixture(scope="module")
+def synthetic_oxford(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("oxford_cli")) + "/"
+
+    def wimg(path, hw, seed):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(np.random.default_rng(seed).integers(
+            0, 255, (*hw, 3), dtype=np.uint8)).save(path)
+
+    wimg(root + "satellite_map_new.png", (2400, 2400), 9)
+    n = 8
+    lines = [f"g{i}.png 0 {619400 + 30 * i}.0 {5735300 + 20 * i}.0"
+             for i in range(n)]
+    for split, fn in [("training.txt", "train_yaw.npy"),
+                      ("validation.txt", "val_yaw.npy")]:
+        with open(root + split, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        np.save(root + fn, np.linspace(0, 5, n))
+    for i, t in enumerate(("test1_j.txt", "test2_j.txt", "test3_j.txt")):
+        with open(root + t, "w") as f:
+            f.write("\n".join(lines[2 * i:2 * i + 2]) + "\n")
+    np.save(root + "test_yaw.npy", np.linspace(0, 5, 6))
+    for i in range(n):
+        wimg(root + f"g{i}.png", (77, 115), 20 + i)
+    return root
+
+
+def test_train_and_eval_oxford_cli_smoke(synthetic_oxford, tmp_path):
+    import train_OxfordRobotCar
+
+    train_OxfordRobotCar.main([
+        "--grd_image_root", synthetic_oxford,
+        "--model_preset", "NANO",
+        "--epochs", "1",
+        "--steps_per_epoch", "1",
+        "-b", "4",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--results_dir", str(tmp_path / "results"),
+        "--num_workers", "2",
+    ])
+    results = train_OxfordRobotCar.main([
+        "--grd_image_root", synthetic_oxford,
+        "--model_preset", "NANO",
+        "--training", "False",
+        "-b", "2",
+        "--test_model_path", str(tmp_path / "ckpt") + "-missing",
+        "--results_dir", str(tmp_path / "results"),
+        "--num_workers", "2",
+    ])
+    assert set(results) == {"test1", "test2", "test3"}

@@ -63,3 +63,28 @@ def test_kitti_chain_matches_host_pil_chain():
     # nearest-rotation tie pixels + bilinear rounding; bulk must agree
     assert np.mean(diff <= 1) > 0.98
     assert np.median(diff) == 0
+
+
+def test_batched_traced_chain_matches_per_sample():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    sat = rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8)
+    heading = np.asarray([0.3, -1.1], np.float32)
+    sx = np.asarray([10.2, -3.3], np.float32)
+    sy = np.asarray([-6.0, 4.5], np.float32)
+    ori = np.asarray([7.3, -2.1], np.float32)
+
+    batched = jax.jit(lambda s, h, x, y, o: geometry.kitti_alignment_chain_batched(
+        s, h, 0.1958, (1.08, 0.26), x, y, o, side=64))(
+            jnp.asarray(sat), jnp.asarray(heading), jnp.asarray(sx),
+            jnp.asarray(sy), jnp.asarray(ori))
+    for i in range(2):
+        single = geometry.kitti_alignment_chain(
+            sat[i], float(heading[i]), 0.1958, (1.08, 0.26),
+            (float(sx[i]), float(sy[i])), float(ori[i]), side=64)
+        diff = np.abs(np.asarray(batched[i]).astype(int)
+                      - np.asarray(single).astype(int))
+        # traced trig skips PIL's 15-decimal rounding: tiny tie differences
+        assert np.mean(diff <= 1) > 0.99
