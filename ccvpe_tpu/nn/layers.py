@@ -201,6 +201,23 @@ def max_pool(x, window: int, stride: int | None = None):
         (1, window, window, 1), (1, stride, stride, 1), "VALID")
 
 
+def max_pool_same(x, kernel: int, stride: int, pad: Pad2d,
+                  circular: bool = False):
+    """TF-'SAME' max pooling with build-time pad amounts, optional horizontal
+    wrap — the functional equivalent of the reference's four
+    ``MaxPool2d*SamePadding`` classes (``efficientnet_pytorch/utils.py:
+    384-492``; unused by EfficientNet itself, provided for parity).
+
+    Matches torch semantics: zero padding then max (torch F.pad with zeros
+    before max_pool2d), so negative activations at the border can be clipped
+    to the pad value exactly as the reference does.
+    """
+    x = pad2d(x, pad, circular)  # zeros, like the reference's F.pad default
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        (1, kernel, kernel, 1), (1, stride, stride, 1), "VALID")
+
+
 def adaptive_avg_pool_1x1(x):
     """Global average pool to 1x1 (squeeze-excite input,
     reference ``efficientnet_pytorch/model.py:114``)."""

@@ -157,3 +157,26 @@ class TestDropConnect:
         vals = np.unique(np.asarray(y))
         assert set(np.round(vals, 5)) <= {0.0, np.float32(np.round(1 / 0.75, 5))}
         assert abs(float(y.mean()) - 1.0) < 0.1
+
+
+class TestMaxPoolSame:
+    def test_max_pool_same_vs_torch(self, torch_oracle):
+        torch = torch_oracle
+        from efficientnet_pytorch.utils import (
+            MaxPool2dStaticSamePadding,
+            MaxPool2dStaticCircularPadding,
+        )
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((2, 3, 15, 22), dtype=np.float32)
+        for k, s in [(3, 2), (2, 2), (3, 1)]:
+            ref = MaxPool2dStaticSamePadding(k, s, image_size=224)(
+                torch.tensor(x)).numpy()
+            got = L.max_pool_same(jnp.asarray(_nhwc(x)), k, s,
+                                  L.same_pad((224, 224), k, s))
+            assert_close(_nchw(got), ref, atol=0)
+        ref = MaxPool2dStaticCircularPadding(3, 2, image_size=224)(
+            torch.tensor(x)).numpy()
+        got = L.max_pool_same(jnp.asarray(_nhwc(x)), 3, 2,
+                              L.same_pad((224, 224), 3, 2), circular=True)
+        assert_close(_nchw(got), ref, atol=0)
