@@ -52,6 +52,9 @@ def main(argv=None):
     from ccvpe_tpu.train.harness import Trainer
 
     mesh_lib.maybe_init_distributed()
+    if args.model_preset not in cvm.PRESETS:
+        raise SystemExit(f"unknown --model_preset {args.model_preset!r}; "
+                         f"choose from {sorted(cvm.PRESETS)}")
     cfg = cvm.PRESETS[args.model_preset]
     trainer = Trainer(
         cfg, learning_rate=args.learning_rate,

@@ -65,6 +65,9 @@ def main(argv=None):
     from ccvpe_tpu.train.metrics import VIGOR_METER_PER_PIXEL
 
     mesh_lib.maybe_init_distributed()
+    if args.model_preset not in cvm.PRESETS:
+        raise SystemExit(f"unknown --model_preset {args.model_preset!r}; "
+                         f"choose from {sorted(cvm.PRESETS)}")
     cfg = dataclasses.replace(cvm.PRESETS[args.model_preset],
                               circular=circular)
     trainer = Trainer(
@@ -121,6 +124,12 @@ def main(argv=None):
         if ori_noise == 180:  # reference train_VIGOR.py:73-79
             fname = os.path.join(args.orientation_dir,
                                  f"{args.area}_orientation_test.npy")
+            if not os.path.exists(fname):
+                raise SystemExit(
+                    f"frozen orientation fixture {fname} not found; these "
+                    "ship with the reference CCVPE release — point "
+                    "--orientation_dir at them (or pass --ori_noise < 180 "
+                    "for a known-orientation prior)")
             random_orientation = np.load(fname)
         index = vigor.VigorIndex.load(args.dataset_root, args.area, False)
         sampler = vigor.VigorSampler(index, pos_only=pos_only,
