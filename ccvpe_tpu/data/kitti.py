@@ -70,11 +70,20 @@ class KittiIndex:
 class KittiSampler:
     """Per-sample host loader; train applies random shift/rotation, test
     reads them from the file columns (deterministic eval,
-    reference ``datasets.py:540-638``)."""
+    reference ``datasets.py:540-638``).
+
+    ``device_augment=True`` skips the host PIL warp chain: the sampler
+    returns the raw aerial image + alignment scalars, and
+    ``device_batch_device_aug`` runs the whole rotate/shift/rotate/crop chain
+    batched on the TPU (``ops.geometry.kitti_alignment_chain_batched``) —
+    the host then only decodes images.  The host path stays the default for
+    bit-faithful eval."""
 
     def __init__(self, index: KittiIndex, *, shift_range_lat: float = 20.0,
                  shift_range_lon: float = 20.0, rotation_range: float = 10.0,
-                 grd_hw=GRD_HW, sat_hw=SAT_HW, seed: int = 0):
+                 grd_hw=GRD_HW, sat_hw=SAT_HW, seed: int = 0,
+                 device_augment: bool = False):
+        self.device_augment = device_augment
         self.index = index
         self.mpp = meter_per_pixel(scale=1)
         self.shift_px_lat = shift_range_lat / self.mpp
@@ -115,6 +124,10 @@ class KittiSampler:
         with Image.open(os.path.join(self.index.root, SATMAP_DIR,
                                      file_name)) as im:
             sat_map = im.convert("RGB")
+
+        if self.device_augment:
+            return self._raw_sample(grd, sat_map, heading, gt_shift_x,
+                                    gt_shift_y, random_ori)
 
         # alignment chain, resampling modes as the reference
         # (``datasets.py:443-464``): rotate (nearest) -> affine (bilinear)
@@ -162,6 +175,58 @@ class KittiSampler:
             "col_offset": np.float32(x_offset),
             "orientation_from_north": np.float32(angle),
         }
+
+    def _raw_sample(self, grd, sat_map, heading, gt_shift_x, gt_shift_y,
+                    random_ori):
+        x_offset, y_offset, angle = _finalize_scalars(
+            gt_shift_x, gt_shift_y, random_ori,
+            self.shift_px_lon, self.shift_px_lat)
+        return {
+            "grd": grd,
+            "sat_raw": np.asarray(sat_map, np.uint8),
+            "heading": np.float32(heading),
+            "shift_x_px": np.float32(gt_shift_x * self.shift_px_lon),
+            "shift_y_px": np.float32(gt_shift_y * self.shift_px_lat),
+            "random_ori": np.float32(random_ori),
+            "angle": np.float32(angle),
+            "row_offset": np.float32(-y_offset),
+            "col_offset": np.float32(x_offset),
+            "orientation_from_north": np.float32(angle),
+        }
+
+
+def _finalize_scalars(gt_shift_x, gt_shift_y, random_ori, shift_px_lon,
+                      shift_px_lat):
+    """GT offsets + orientation angle from the alignment parameters
+    (reference ``datasets.py:472-487``)."""
+    cos_o = np.cos(random_ori / 180 * np.pi)
+    sin_o = np.sin(random_ori / 180 * np.pi)
+    x_offset = int(gt_shift_x * shift_px_lon * cos_o
+                   - gt_shift_y * shift_px_lat * sin_o)
+    y_offset = int(-gt_shift_y * shift_px_lat * cos_o
+                   - gt_shift_x * shift_px_lon * sin_o)
+    angle = 90.0 - random_ori
+    if angle < 0:
+        angle += 360
+    elif angle > 360:
+        angle -= 360
+    return x_offset, y_offset, angle
+
+
+def device_batch_device_aug(raw: dict, *, train: bool, mpp: float,
+                            sat_hw=SAT_HW, bins=BINS):
+    """Batch assembly for ``device_augment=True`` samples: the aerial
+    alignment chain runs batched on device, then GT synthesis."""
+    from ..ops.geometry import kitti_alignment_chain_batched
+
+    sat = kitti_alignment_chain_batched(
+        jnp.asarray(raw["sat_raw"]), jnp.asarray(raw["heading"]), mpp,
+        CAMERA_GPS_SHIFT_LEFT, jnp.asarray(raw["shift_x_px"]),
+        jnp.asarray(raw["shift_y_px"]), jnp.asarray(raw["random_ori"]),
+        side=sat_hw[0])
+    out = dict(raw)
+    out["sat"] = sat
+    return device_batch(out, train=train, sat_hw=sat_hw, bins=bins)
 
 
 def device_batch(raw: dict, *, train: bool, sat_hw=SAT_HW, bins=BINS):

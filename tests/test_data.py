@@ -272,3 +272,30 @@ class TestArrayCache:
                              str(tmp_path / "bad"))
         assert c.meta["failed"] == ["/nonexistent/x.png"] or True
         np.testing.assert_array_equal(c[0], np.zeros((16, 16, 3), np.uint8))
+
+
+class TestKittiDeviceAugment:
+    def test_device_augment_matches_host_path(self, kitti_root):
+        index = kitti.KittiIndex.load(
+            kitti_root, os.path.join(kitti_root, "test_files.txt"), test=True)
+        host = kitti.KittiSampler(index, rotation_range=10)
+        dev = kitti.KittiSampler(index, rotation_range=10,
+                                 device_augment=True)
+        hs, ds = host(0), dev(0)
+        # identical GT placement/orientation scalars
+        assert hs["row_offset"] == ds["row_offset"]
+        assert hs["col_offset"] == ds["col_offset"]
+        assert hs["angle"] == ds["angle"]
+
+        batch = kitti.device_batch_device_aug(
+            pipeline.collate([ds]), train=True, mpp=dev.mpp)
+        host_batch = kitti.device_batch(pipeline.collate([hs]), train=True)
+        assert batch["sat"].shape == host_batch["sat"].shape
+        assert batch["gt_with_ori"].shape == host_batch["gt_with_ori"].shape
+        # warped aerial agrees with the PIL chain up to resampling ties
+        a = np.asarray(batch["sat"][0])
+        b = np.asarray(host_batch["sat"][0])
+        close = np.mean(np.abs(a - b) < 0.05)  # normalized units
+        assert close > 0.95, close
+        np.testing.assert_allclose(np.asarray(batch["gt"]),
+                                   np.asarray(host_batch["gt"]), atol=1e-6)
