@@ -38,7 +38,8 @@ class Trainer:
                  weight_info_nce: float = 1e4, weight_ori: float = 1e1,
                  checkpoint_dir: str | None = None, results_dir: str = "results",
                  label: str = "run", log_every: int = 200, seed: int = 17,
-                 batch_size: int | None = None, profile_dir: str | None = None):
+                 batch_size: int | None = None, profile_dir: str | None = None,
+                 compute_dtype: str = "float32", remat: bool = False):
         self.model_cfg = model_cfg
         if mesh is None:
             # the data axis must divide the global batch
@@ -55,9 +56,13 @@ class Trainer:
         self.log_every = log_every
         self.rng = jax.random.PRNGKey(seed)
 
+        import jax.numpy as jnp
+
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            compute_dtype]
         step = train_loop.make_train_step(
             model_cfg, self.optimizer, weight_info_nce=weight_info_nce,
-            weight_ori=weight_ori)
+            weight_ori=weight_ori, remat=remat, compute_dtype=dtype)
         self._train_step = train_loop.compile_train_step(step, self.mesh)
         self._eval_steps: dict = {}
 

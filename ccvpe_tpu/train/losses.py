@@ -66,19 +66,27 @@ def total_loss(outputs, gt, gt_with_ori, gt_orientation, *,
       gt_with_ori: [B, h0*64, w0*64, bins] orientation-binned GT.
       gt_orientation: [B, H, W, 2] dense (cos, sin) GT.
 
+    Loss math always runs in float32 regardless of the forward compute dtype
+    (bf16 activations train fine; bf16 loss reductions over 512*512 logits
+    do not).
+
     Returns (loss, dict of components).
     """
     b = gt.shape[0]
+    f32 = jnp.float32
+    gt = gt.astype(f32)
     gt_flat = gt.reshape(b, -1)
     gt_flat = gt_flat / jnp.sum(gt_flat, axis=1, keepdims=True)
 
-    loss_ce = cross_entropy_loss(outputs.logits_flattened, gt_flat)
-    loss_ori = orientation_loss(outputs.ori, gt_orientation, gt)
+    loss_ce = cross_entropy_loss(outputs.logits_flattened.astype(f32),
+                                 gt_flat)
+    loss_ori = orientation_loss(outputs.ori.astype(f32),
+                                gt_orientation.astype(f32), gt)
 
-    labels = gt_pyramid(gt_with_ori)
+    labels = gt_pyramid(gt_with_ori.astype(f32))
     nce_terms = []
     for stack, label in zip(outputs.matching_scores, labels):
-        nce_terms.append(info_nce_loss(stack.reshape(b, -1),
+        nce_terms.append(info_nce_loss(stack.astype(f32).reshape(b, -1),
                                        label.reshape(b, -1)))
     loss_nce = sum(nce_terms) / len(nce_terms)
 

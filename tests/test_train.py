@@ -102,3 +102,26 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     assert len(before) == len(after)
     for a, b in zip(before, after):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_learns_overfit(tiny_setup):
+    """30 donated steps on one fixed batch must drive the loss down
+    substantially — catches loss-sign/gradient-plumbing errors that
+    shape-checks cannot."""
+    cfg, opt, state, batch = tiny_setup
+    import optax
+    opt_fast = train_loop.make_optimizer(3e-4)
+    state = train_loop.create_train_state(cfg, jax.random.PRNGKey(3),
+                                          opt_fast)
+    step = train_loop.make_train_step(cfg, opt_fast)
+    jstep = jax.jit(step, donate_argnums=(0,))
+    losses = []
+    for i in range(30):
+        state, parts = jstep(state, batch, jax.random.PRNGKey(100 + i))
+        losses.append(float(parts["loss"]))
+    assert np.isfinite(losses).all()
+    # robust decrease: mean of last 5 well below mean of first 5
+    early, late = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert late < 0.7 * early, (early, late)
+    # heatmap CE should individually improve too
+    assert losses[-1] < losses[0]

@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--test_model_path", type=str,
                    default="models/KITTI/no_orientation_prior/model.pt")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 forward/backward (f32 master weights)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in the backward pass")
     p.add_argument("--model_preset", type=str, default="KITTI")
     return p.parse_args(argv)
 
@@ -61,7 +65,9 @@ def main(argv=None):
         weight_info_nce=args.weight_infoNCE, weight_ori=args.weight_ori,
         checkpoint_dir=args.checkpoint_dir or f"models/KITTI/{label}",
         results_dir=args.results_dir, label=label,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat)
 
     root = args.dataset_root
     train_file = args.train_file or os.path.join(root, "train_files.txt")

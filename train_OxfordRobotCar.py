@@ -31,6 +31,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--test_model_path", type=str,
                    default="models/OxfordRobotCar/model.pt")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 forward/backward (f32 master weights)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in the backward pass")
     p.add_argument("--model_preset", type=str, default="OxfordRobotCar")
     return p.parse_args(argv)
 
@@ -58,7 +62,9 @@ def main(argv=None):
         weight_info_nce=args.weight_infoNCE, weight_ori=args.weight_ori,
         checkpoint_dir=args.checkpoint_dir or f"models/OxfordRobotCar/{label}",
         results_dir=args.results_dir, label=label,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat)
 
     dev_train = lambda raw: oxford.device_batch(
         raw, train=True, sat_hw=cfg.sat_hw, bins=cfg.bins)

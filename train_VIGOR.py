@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--cache_dir", type=str, default="",
                    help="build/use preprocessed uint8 array caches "
                         "(decode-free input streaming)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 forward/backward (f32 master weights)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in the backward pass")
     p.add_argument("--model_preset", type=str, default="VIGOR")
     return p.parse_args(argv)
 
@@ -78,7 +82,9 @@ def main(argv=None):
         weight_info_nce=args.weight_infoNCE, weight_ori=args.weight_ori,
         checkpoint_dir=args.checkpoint_dir or f"models/VIGOR/{label}",
         results_dir=args.results_dir, label=label,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat)
 
     grd_hw, sat_hw = cfg.grd_hw, cfg.sat_hw
 
