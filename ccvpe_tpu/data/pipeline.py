@@ -94,6 +94,21 @@ def epoch_indices(n: int, *, shuffle: bool, rng: np.random.Generator):
     return idx
 
 
+def shard_for_process(indices, process_index: int | None = None,
+                      process_count: int | None = None):
+    """Multi-host input sharding: each host loads only its slice of the
+    global batch order (strided so every host sees the same epoch
+    distribution).  With the mesh's data axis laid out process-major, host
+    i's samples land on host i's chips."""
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        return indices
+    return np.asarray(indices)[pi::pc]
+
+
 def train_val_split(n: int, val_fraction: float = 0.2, seed: int = 0):
     """Reference's 80/20 shuffled split (``train_VIGOR.py:82-91``, which uses
     ``np.random.seed(0)`` then ``np.random.shuffle``)."""

@@ -100,9 +100,13 @@ class Trainer:
     # -- train ------------------------------------------------------------
     def train_epoch(self, loader, device_batch_fn: Callable, epoch: int):
         assert self.state is not None, "call init_state() first"
+        from ..utils.profiling import StepTimer
+
+        timer = StepTimer()
         running, t0, n = 0.0, time.time(), 0
         pairs = 0
         for i, raw in enumerate(loader):
+            timer.start()
             if self.profile_dir and not self._profiled and i == 10:
                 jax.profiler.start_trace(self.profile_dir)
             batch = device_batch_fn(raw)
@@ -124,6 +128,10 @@ class Trainer:
                 running, n = 0.0, 0
         if self.ckpt:
             self.ckpt.save(epoch, jax.device_get(self.state), wait=True)
+        stats = timer.summary()
+        if stats:
+            print(f"epoch {epoch} step time: p50 {stats['p50_ms']:.0f} ms "
+                  f"p95 {stats['p95_ms']:.0f} ms over {stats['steps']} steps")
         return pairs / max(time.time() - t0, 1e-9)
 
     # -- eval -------------------------------------------------------------

@@ -299,3 +299,11 @@ class TestKittiDeviceAugment:
         assert close > 0.95, close
         np.testing.assert_allclose(np.asarray(batch["gt"]),
                                    np.asarray(host_batch["gt"]), atol=1e-6)
+
+
+def test_shard_for_process():
+    idx = np.arange(10)
+    shards = [pipeline.shard_for_process(idx, i, 4) for i in range(4)]
+    np.testing.assert_array_equal(np.sort(np.concatenate(shards)), idx)
+    np.testing.assert_array_equal(shards[1], [1, 5, 9])
+    np.testing.assert_array_equal(pipeline.shard_for_process(idx, 0, 1), idx)
