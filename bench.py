@@ -30,6 +30,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ccvpe_tpu.utils import compilation_cache
+    compilation_cache.enable()
+
     from ccvpe_tpu.models import cvm
 
     dev = jax.devices()[0]

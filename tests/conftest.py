@@ -50,8 +50,16 @@ def torch_oracle():
             except ValueError:
                 continue  # already imported (possibly mocked earlier)
         sys.modules.setdefault(mod, MagicMock())
+    # repo root must stay ahead of the reference dir: both define
+    # train_*.py / visualize_*.py, and `import train_KITTI` in CLI tests must
+    # resolve to this repo.  The reference-only modules (models, datasets,
+    # losses) have no repo-root counterparts.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root in sys.path:
+        sys.path.remove(repo_root)
+    sys.path.insert(0, repo_root)
     if REFERENCE_DIR not in sys.path:
-        sys.path.insert(0, REFERENCE_DIR)
+        sys.path.insert(1, REFERENCE_DIR)
     torch.manual_seed(0)
     return torch
 

@@ -71,6 +71,8 @@ def main(argv=None):
     from ccvpe_tpu.train.harness import Trainer
     from ccvpe_tpu.train.metrics import VIGOR_METER_PER_PIXEL
 
+    from ccvpe_tpu.utils import compilation_cache
+    compilation_cache.enable()
     mesh_lib.maybe_init_distributed()
     if args.model_preset not in cvm.PRESETS:
         raise SystemExit(f"unknown --model_preset {args.model_preset!r}; "
