@@ -29,7 +29,7 @@ Faithful quirks preserved (see SURVEY.md §7 "hard parts"):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax

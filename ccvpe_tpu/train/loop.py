@@ -11,7 +11,7 @@ all-reduce over ICI.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, NamedTuple
 
 import jax
