@@ -1,0 +1,48 @@
+"""On-device pose readout.
+
+The reference ships full heatmaps and orientation fields to host and runs
+numpy argmaxes per sample (``train_VIGOR.py:182-217``).  For streaming
+evaluation that transfer dominates (a 512x512 float heatmap is 1 MB/sample);
+this readout reduces each sample to a dozen scalars on device, matching the
+reference's argmax semantics exactly (row-major first-maximum, like
+``np.argmax``/``np.unravel_index``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _argmax_rc(maps):
+    """[B, H, W] -> (rows, cols) of the row-major first maximum."""
+    b, h, w = maps.shape
+    flat_idx = jnp.argmax(maps.reshape(b, -1), axis=1)
+    return flat_idx // w, flat_idx % w
+
+
+@jax.jit
+def pose_readout(heatmap, ori, gt, gt_orientation):
+    """Per-sample pose scalars (all [B]-shaped, NHWC inputs):
+
+    pred_row/pred_col, gt_row/gt_col, pixel_distance, probability at the GT
+    argmax, predicted (cos, sin) at the predicted peak, GT (cos, sin) at the
+    GT peak — everything the reference metric loop needs.
+    """
+    hm = heatmap[..., 0]
+    g = gt[..., 0]
+    b = hm.shape[0]
+    pr, pc = _argmax_rc(hm)
+    gr, gc = _argmax_rc(g)
+    idx = jnp.arange(b)
+    return {
+        "pred_row": pr, "pred_col": pc, "gt_row": gr, "gt_col": gc,
+        "pixel_distance": jnp.sqrt(
+            (gr - pr).astype(jnp.float32) ** 2
+            + (gc - pc).astype(jnp.float32) ** 2),
+        "prob_at_gt": hm[idx, gr, gc].astype(jnp.float32),
+        "cos_pred": ori[idx, pr, pc, 0].astype(jnp.float32),
+        "sin_pred": ori[idx, pr, pc, 1].astype(jnp.float32),
+        "cos_gt": gt_orientation[idx, gr, gc, 0].astype(jnp.float32),
+        "sin_gt": gt_orientation[idx, gr, gc, 1].astype(jnp.float32),
+    }

@@ -144,13 +144,20 @@ class Trainer:
 
     def evaluate(self, loader, device_batch_fn: Callable, *,
                  meter_per_pixel, loc_offsets=None, cities_to_mpp=None,
-                 with_heading: bool = False) -> dict:
+                 with_heading: bool = False,
+                 device_readout: bool = True) -> dict:
         """Run a full eval pass; returns the metric summary dict.
 
         ``meter_per_pixel``: scalar, or None with ``cities_to_mpp`` to derive
         per-sample conversions from a batch 'city' field (VIGOR,
         reference ``train_VIGOR.py:193-200``).
+
+        ``device_readout``: reduce each sample to pose scalars on device
+        (``ops.readout``) instead of fetching full heatmaps — the streaming
+        fast path; identical metrics.
         """
+        from ..ops.readout import pose_readout
+
         assert self.state is not None
         step = self._get_eval_step(loc_offsets)
         acc = PoseErrorAccumulator()
@@ -164,12 +171,19 @@ class Trainer:
                 mpp = np.asarray([cities_to_mpp[c] for c in raw["city"]])
             else:
                 mpp = meter_per_pixel
-            acc.update(np.asarray(out.heatmap), np.asarray(batch["gt"]),
-                       np.asarray(out.ori), np.asarray(batch["orientation"]),
-                       mpp,
-                       orientation_from_north=(
-                           raw.get("orientation_from_north")
-                           if with_heading else None))
+            heading = (raw.get("orientation_from_north")
+                       if with_heading else None)
+            if device_readout:
+                r = jax.device_get(pose_readout(
+                    out.heatmap, out.ori, batch["gt"],
+                    batch["orientation"]))
+                acc.update_from_readout(r, mpp,
+                                        orientation_from_north=heading)
+            else:
+                acc.update(np.asarray(out.heatmap), np.asarray(batch["gt"]),
+                           np.asarray(out.ori),
+                           np.asarray(batch["orientation"]), mpp,
+                           orientation_from_north=heading)
             pairs += int(batch["gt"].shape[0])
         summary = acc.summary()
         summary["pairs_per_sec"] = pairs / max(time.time() - t0, 1e-9)

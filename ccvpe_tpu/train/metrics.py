@@ -120,6 +120,36 @@ class PoseErrorAccumulator:
             self.lateral_m.extend(
                 np.abs(np.sin(np.radians(diff)) * px) * mpp)
 
+    def update_from_readout(self, r: dict, meter_per_pixel,
+                            orientation_from_north=None):
+        """Accumulate one batch from on-device pose scalars
+        (``ops.readout.pose_readout``) — same math as ``update`` without the
+        full-heatmap host transfer."""
+        px = np.asarray(r["pixel_distance"], np.float64)
+        b = px.shape[0]
+        mpp = np.broadcast_to(np.asarray(meter_per_pixel, np.float64), (b,))
+        self.distance_px.extend(px)
+        self.distance_m.extend(px * mpp)
+        self.probability_at_gt.extend(np.asarray(r["prob_at_gt"]))
+
+        ang_p, valid = angle_from_cos_sin(r["cos_pred"], r["sin_pred"])
+        ang_g, _ = angle_from_cos_sin(r["cos_gt"], r["sin_gt"])
+        err = angular_error_deg(ang_g, ang_p)
+        self.orientation_err.extend(err[valid])
+
+        if orientation_from_north is not None:
+            heading = np.asarray(orientation_from_north, np.float64)
+            gr = np.asarray(r["gt_row"], np.float64)
+            gc = np.asarray(r["gt_col"], np.float64)
+            pr = np.asarray(r["pred_row"], np.float64)
+            pc = np.asarray(r["pred_col"], np.float64)
+            gt2pred = np.degrees(np.arctan2(np.abs(gc - pc), np.abs(gr - pr)))
+            diff = np.abs(heading - gt2pred)
+            self.longitudinal_m.extend(
+                np.abs(np.cos(np.radians(diff)) * px) * mpp)
+            self.lateral_m.extend(
+                np.abs(np.sin(np.radians(diff)) * px) * mpp)
+
     def summary(self):
         out = {
             "mean_distance_m": float(np.mean(self.distance_m)),

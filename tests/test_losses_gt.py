@@ -184,3 +184,34 @@ class TestMetrics:
         assert abs(s["mean_distance_m"] - want_px * 2.0) < 1e-6
         assert abs(s["mean_orientation_deg"] - 90.0) < 1e-6
         assert "lateral_recall@5m" in s
+
+
+class TestDeviceReadout:
+    def test_readout_matches_host_accumulator(self):
+        import jax.numpy as jnp
+        from ccvpe_tpu.ops.readout import pose_readout
+        from ccvpe_tpu.train.metrics import PoseErrorAccumulator
+
+        rng = np.random.default_rng(11)
+        b, h, w = 5, 24, 24
+        hm = rng.random((b, h, w, 1)).astype(np.float32)
+        gt = rng.random((b, h, w, 1)).astype(np.float32)
+        ang = rng.uniform(0, 360, (b, h, w))
+        ori = np.stack([np.cos(np.radians(ang)), np.sin(np.radians(ang))],
+                       -1).astype(np.float32)
+        ang2 = rng.uniform(0, 360, (b, h, w))
+        gto = np.stack([np.cos(np.radians(ang2)), np.sin(np.radians(ang2))],
+                       -1).astype(np.float32)
+        heading = rng.uniform(0, 360, b)
+
+        host = PoseErrorAccumulator()
+        host.update(hm, gt, ori, gto, 2.0, orientation_from_north=heading)
+        dev = PoseErrorAccumulator()
+        r = pose_readout(jnp.asarray(hm), jnp.asarray(ori), jnp.asarray(gt),
+                         jnp.asarray(gto))
+        dev.update_from_readout({k: np.asarray(v) for k, v in r.items()},
+                                2.0, orientation_from_north=heading)
+        hs, ds = host.summary(), dev.summary()
+        assert hs.keys() == ds.keys()
+        for k in hs:
+            assert abs(hs[k] - ds[k]) < 1e-5, (k, hs[k], ds[k])
