@@ -102,3 +102,17 @@ def test_oxford_parity(ref_models):
     tmodel = rm.CVM_OxfordRobotCar("cpu")
     ref, out = _run_pair(torch, tmodel, cvm.OXFORD, (154, 231), (512, 512))
     _check(ref, out, 20)
+
+
+def test_vigor_limited_fov_parity(ref_models):
+    """Limited-HFoV eval (BASELINE config 3): panorama cropped to 180°,
+    non-circular ground encoder, restricted orientation bins."""
+    torch, rm = ref_models
+    tmodel = rm.CVM_VIGOR_ori_prior("cpu", ori_noise=72.0,
+                                    circular_padding=False)
+    # 180° FoV -> half panorama width (reference train_VIGOR.py:272-273)
+    import dataclasses
+    cfg = dataclasses.replace(cvm.VIGOR, circular=False)
+    ref, out = _run_pair(torch, tmodel, cfg, (320, 320), (512, 512),
+                         loc_offsets=tuple(range(-4, 5)))
+    _check(ref, out, 20)
