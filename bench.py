@@ -9,9 +9,9 @@ Baseline: the reference's published per-frame pose throughput, 14 FPS on GPU
 (``/root/reference/README.md:21``; see BASELINE.md).
 
 Env knobs:
-  CCVPE_BENCH_BATCH   global batch (default 64)
+  CCVPE_BENCH_BATCH   global batch (default 128)
   CCVPE_BENCH_DTYPE   float32 | bfloat16 activations (default bfloat16)
-  CCVPE_BENCH_ITERS   timed iterations (default 50)
+  CCVPE_BENCH_ITERS   timed iterations (default 30)
   CCVPE_BENCH_PRESET  model preset (default VIGOR)
 """
 
@@ -22,9 +22,9 @@ import time
 
 
 def main():
-    batch = int(os.environ.get("CCVPE_BENCH_BATCH", "64"))
+    batch = int(os.environ.get("CCVPE_BENCH_BATCH", "128"))
     dtype_name = os.environ.get("CCVPE_BENCH_DTYPE", "bfloat16")
-    iters = int(os.environ.get("CCVPE_BENCH_ITERS", "50"))
+    iters = int(os.environ.get("CCVPE_BENCH_ITERS", "30"))
     preset = os.environ.get("CCVPE_BENCH_PRESET", "VIGOR")
 
     import jax
