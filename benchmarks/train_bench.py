@@ -42,7 +42,7 @@ def main():
         state = train_loop.create_train_state(cfg, jax.random.PRNGKey(0), opt)
         rng = np.random.default_rng(0)
         h, w = cfg.sat_hw
-        gt, gwo, omap = gt_ops.synthesize_batch(
+        gt, weights, omap = gt_ops.synthesize_batch_factored(
             jnp.asarray(rng.uniform(-20, 20, b), jnp.float32),
             jnp.asarray(rng.uniform(-20, 20, b), jnp.float32),
             jnp.asarray(rng.uniform(0, 360, b), jnp.float32),
@@ -52,7 +52,7 @@ def main():
                                jnp.float32),
             "sat": jnp.asarray(rng.standard_normal((b, h, w, 3)),
                                jnp.float32),
-            "gt": gt, "gt_with_ori": gwo, "orientation": omap,
+            "gt": gt, "bin_weights": weights, "orientation": omap,
         }
         try:
             state, parts = jstep(state, batch, jax.random.PRNGKey(1))

@@ -232,9 +232,9 @@ def device_batch_device_aug(raw: dict, *, train: bool, mpp: float,
 def device_batch(raw: dict, *, train: bool, sat_hw=SAT_HW, bins=BINS):
     grd = transforms.normalize_images(jnp.asarray(raw["grd"]))
     sat = transforms.normalize_images(jnp.asarray(raw["sat"]))
-    gt, gwo, omap = gt_ops.synthesize_batch(
+    gt, weights, omap = gt_ops.synthesize_batch_factored(
         jnp.asarray(raw["row_offset"]), jnp.asarray(raw["col_offset"]),
         jnp.asarray(raw["angle"]), height=sat_hw[0], width=sat_hw[1],
-        bins=bins, clockwise=False, with_bins=train)
-    return {"grd": grd, "sat": sat, "gt": gt, "gt_with_ori": gwo,
+        bins=bins, clockwise=False)
+    return {"grd": grd, "sat": sat, "gt": gt, "bin_weights": weights,
             "orientation": omap}

@@ -75,7 +75,12 @@ def synthesize_batch(row_offset, col_offset, angle_deg, *, height: int,
                      width: int, bins: int, clockwise: bool = False,
                      with_bins: bool = True):
     """Batched GT synthesis: offsets/angles [B] -> (gt [B,H,W,1],
-    gt_with_ori [B,H,W,bins], orientation [B,H,W,2])."""
+    gt_with_ori [B,H,W,bins], orientation [B,H,W,2]).
+
+    NOTE: materializing the full-resolution binned volume costs
+    B*H*W*bins floats (8 GB padded at batch 64 on TPU).  Training uses the
+    factored form (``synthesize_batch_factored``); this dense variant exists
+    for parity testing and the reference-shaped API."""
     gt = jax.vmap(lambda r, c: gaussian_heatmap(height, width, r, c))(
         row_offset, col_offset)[..., None]
     if with_bins:
@@ -86,3 +91,24 @@ def synthesize_batch(row_offset, col_offset, angle_deg, *, height: int,
         gwo = jnp.zeros((gt.shape[0], height, width, bins), gt.dtype)
     omap = jax.vmap(lambda a: orientation_map(height, width, a))(angle_deg)
     return gt, gwo, omap
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "bins",
+                                             "clockwise"))
+def synthesize_batch_factored(row_offset, col_offset, angle_deg, *,
+                              height: int, width: int, bins: int,
+                              clockwise: bool = False):
+    """Memory-safe batched GT: (gt [B,H,W], bin_weights [B,bins],
+    orientation [B,H,W,2]).
+
+    The binned GT volume is a rank-1 outer product per sample
+    (``gt_with_ori[b] = gaussian[b] ⊗ weights[b]``) and max-pooling commutes
+    with multiplication by the non-negative per-sample weights, so the loss
+    pyramid can be rebuilt from the pooled Gaussian alone — the
+    [B, H, W, bins] tensor (8 GB padded at batch 64) never exists."""
+    gt = jax.vmap(lambda r, c: gaussian_heatmap(height, width, r, c))(
+        row_offset, col_offset)
+    weights = jax.vmap(
+        lambda a: orientation_bin_weights(a, bins, clockwise))(angle_deg)
+    omap = jax.vmap(lambda a: orientation_map(height, width, a))(angle_deg)
+    return gt, weights, omap

@@ -30,7 +30,7 @@ def pose_readout(heatmap, ori, gt, gt_orientation):
     GT peak — everything the reference metric loop needs.
     """
     hm = heatmap[..., 0]
-    g = gt[..., 0]
+    g = gt if gt.ndim == 3 else gt[..., 0]
     b = hm.shape[0]
     pr, pc = _argmax_rc(hm)
     gr, gc = _argmax_rc(g)

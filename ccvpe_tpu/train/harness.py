@@ -180,7 +180,8 @@ class Trainer:
                 acc.update_from_readout(r, mpp,
                                         orientation_from_north=heading)
             else:
-                acc.update(np.asarray(out.heatmap), np.asarray(batch["gt"]),
+                acc.update(np.asarray(out.heatmap),
+                           np.asarray(batch["gt"])[..., None],
                            np.asarray(out.ori),
                            np.asarray(batch["orientation"]), mpp,
                            orientation_from_north=heading)

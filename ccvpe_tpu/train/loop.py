@@ -57,8 +57,8 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
                     remat: bool = False, compute_dtype=jnp.float32):
     """Build the jittable train step.
 
-    batch dict (NHWC): grd, sat, gt [B,H,W,1], gt_with_ori [B,H,W,bins],
-    orientation [B,H,W,2].
+    batch dict (NHWC): grd, sat, gt [B,H,W], bin_weights [B,bins],
+    orientation [B,H,W,2]  (factored GT; see losses.total_loss).
 
     ``remat=True`` rematerializes the forward in the backward pass
     (``jax.checkpoint``), trading FLOPs for activation memory — the lever for
@@ -80,7 +80,7 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
         def loss_fn(params):
             out, new_bn = fwd(params, batch["grd"], batch["sat"])
             loss, parts = losses.total_loss(
-                out, batch["gt"], batch["gt_with_ori"], batch["orientation"],
+                out, batch["gt"], batch["bin_weights"], batch["orientation"],
                 weight_info_nce=weight_info_nce, weight_ori=weight_ori)
             return loss, (new_bn, parts)
 

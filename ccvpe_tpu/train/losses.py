@@ -56,14 +56,20 @@ def gt_pyramid(gt_with_ori):
     return tuple(max_pool(gt_with_ori, 2 ** k) for k in (6, 5, 4, 3, 2, 1))
 
 
-def total_loss(outputs, gt, gt_with_ori, gt_orientation, *,
+def total_loss(outputs, gt, bin_weights, gt_orientation, *,
                weight_info_nce: float = 1e4, weight_ori: float = 1e1):
-    """Full objective (reference ``train_VIGOR.py:137-146``).
+    """Full objective (reference ``train_VIGOR.py:137-146``), factored-GT
+    form.
 
     Args:
       outputs: CVMOutputs (NHWC).
-      gt: [B, H, W, 1] unnormalized Gaussian heatmap GT.
-      gt_with_ori: [B, h0*64, w0*64, bins] orientation-binned GT.
+      gt: [B, H, W] unnormalized Gaussian heatmap GT (no trailing channel —
+        trailing size-1 lanes pad 128x on TPU).
+      bin_weights: [B, bins] orientation interpolation weights.  The dense
+        binned GT is ``gt[b] ⊗ bin_weights[b]``; because max-pooling commutes
+        with multiplication by the non-negative per-sample weights, the
+        per-scale labels are ``max_pool(gt) ⊗ bin_weights`` — bit-identical
+        to pooling the dense volume, without ever materializing it.
       gt_orientation: [B, H, W, 2] dense (cos, sin) GT.
 
     Loss math always runs in float32 regardless of the forward compute dtype
@@ -72,6 +78,37 @@ def total_loss(outputs, gt, gt_with_ori, gt_orientation, *,
 
     Returns (loss, dict of components).
     """
+    b = gt.shape[0]
+    f32 = jnp.float32
+    gt = gt.astype(f32)
+    w = bin_weights.astype(f32)
+    gt_flat = gt.reshape(b, -1)
+    gt_flat = gt_flat / jnp.sum(gt_flat, axis=1, keepdims=True)
+
+    loss_ce = cross_entropy_loss(outputs.logits_flattened.astype(f32),
+                                 gt_flat)
+    loss_ori = orientation_loss(outputs.ori.astype(f32),
+                                gt_orientation.astype(f32), gt[..., None])
+
+    gt4 = gt[..., None]
+    nce_terms = []
+    for k, stack in zip((6, 5, 4, 3, 2, 1), outputs.matching_scores):
+        pooled = max_pool(gt4, 2 ** k)  # [B, h, w, 1]
+        label = (pooled * w[:, None, None, :]).reshape(b, -1)
+        nce_terms.append(info_nce_loss(stack.astype(f32).reshape(b, -1),
+                                       label))
+    loss_nce = sum(nce_terms) / len(nce_terms)
+
+    loss = loss_ce + weight_info_nce * loss_nce + weight_ori * loss_ori
+    return loss, {"loss": loss, "ce": loss_ce, "info_nce": loss_nce,
+                  "ori": loss_ori}
+
+
+def total_loss_binned(outputs, gt, gt_with_ori, gt_orientation, *,
+                      weight_info_nce: float = 1e4, weight_ori: float = 1e1):
+    """Reference-shaped objective taking the dense binned GT volume
+    (``[B, H, W, bins]``) — used for equivalence testing against the
+    factored form; training uses ``total_loss``."""
     b = gt.shape[0]
     f32 = jnp.float32
     gt = gt.astype(f32)

@@ -68,8 +68,8 @@ class TestVigor:
         assert raw["grd"].shape == (4, 32, 64, 3)
         assert raw["sat"].shape == (4, 64, 64, 3)
         batch = vigor.device_batch(raw, train=True, sat_hw=(64, 64), bins=20)
-        assert batch["gt"].shape == (4, 64, 64, 1)
-        assert batch["gt_with_ori"].shape == (4, 64, 64, 20)
+        assert batch["gt"].shape == (4, 64, 64)
+        assert batch["bin_weights"].shape == (4, 20)
         assert batch["orientation"].shape == (4, 64, 64, 2)
         # normalized images should have roughly zero-ish mean after ImageNet
         # normalization of uniform noise
@@ -291,7 +291,7 @@ class TestKittiDeviceAugment:
             pipeline.collate([ds]), train=True, mpp=dev.mpp)
         host_batch = kitti.device_batch(pipeline.collate([hs]), train=True)
         assert batch["sat"].shape == host_batch["sat"].shape
-        assert batch["gt_with_ori"].shape == host_batch["gt_with_ori"].shape
+        assert batch["bin_weights"].shape == host_batch["bin_weights"].shape
         # warped aerial agrees with the PIL chain up to resampling ties
         a = np.asarray(batch["sat"][0])
         b = np.asarray(host_batch["sat"][0])

@@ -215,3 +215,38 @@ class TestDeviceReadout:
         assert hs.keys() == ds.keys()
         for k in hs:
             assert abs(hs[k] - ds[k]) < 1e-5, (k, hs[k], ds[k])
+
+
+class TestFactoredGT:
+    def test_factored_equals_binned_total_loss(self):
+        """The factored (pooled-gaussian x weights) objective must equal the
+        dense binned-volume objective bit-for-bit (maxpool commutes with the
+        non-negative per-sample bin weights)."""
+        from ccvpe_tpu.models.cvm import CVMOutputs
+
+        rng = np.random.default_rng(13)
+        b, hw, bins = 3, 128, 20
+        row = jnp.asarray(rng.uniform(-20, 20, b), jnp.float32)
+        col = jnp.asarray(rng.uniform(-20, 20, b), jnp.float32)
+        ang = jnp.asarray(rng.uniform(0, 360, b), jnp.float32)
+
+        gt4, gwo, omap = gt_ops.synthesize_batch(
+            row, col, ang, height=hw, width=hw, bins=bins)
+        gt3, weights, omap2 = gt_ops.synthesize_batch_factored(
+            row, col, ang, height=hw, width=hw, bins=bins)
+        np.testing.assert_array_equal(np.asarray(gt4[..., 0]),
+                                      np.asarray(gt3))
+        np.testing.assert_array_equal(np.asarray(omap), np.asarray(omap2))
+
+        stacks = tuple(
+            jnp.asarray(rng.standard_normal((b, hw >> k, hw >> k, bins)),
+                        jnp.float32) for k in (6, 5, 4, 3, 2, 1))
+        logits = jnp.asarray(rng.standard_normal((b, hw * hw)), jnp.float32)
+        ori = jnp.asarray(rng.standard_normal((b, hw, hw, 2)), jnp.float32)
+        out = CVMOutputs(logits, None, ori, stacks)
+
+        la, pa = L.total_loss(out, gt3, weights, omap)
+        lb, pb = L.total_loss_binned(out, gt4, gwo, omap)
+        for k in pa:
+            assert abs(float(pa[k]) - float(pb[k])) < 1e-5 * max(
+                1, abs(float(pb[k]))), (k, pa[k], pb[k])

@@ -21,7 +21,7 @@ def tiny_setup():
     b = 8
     h, w = cfg.sat_hw
     gh, gw = cfg.grd_hw
-    gt, gwo, omap = gt_ops.synthesize_batch(
+    gt, weights, omap = gt_ops.synthesize_batch_factored(
         jnp.asarray(rng.uniform(-20, 20, b), jnp.float32),
         jnp.asarray(rng.uniform(-20, 20, b), jnp.float32),
         jnp.asarray(rng.uniform(0, 360, b), jnp.float32),
@@ -29,7 +29,7 @@ def tiny_setup():
     batch = {
         "grd": jnp.asarray(rng.standard_normal((b, gh, gw, 3)), jnp.float32),
         "sat": jnp.asarray(rng.standard_normal((b, h, w, 3)), jnp.float32),
-        "gt": gt, "gt_with_ori": gwo, "orientation": omap,
+        "gt": gt, "bin_weights": weights, "orientation": omap,
     }
     return cfg, opt, state, batch
 
