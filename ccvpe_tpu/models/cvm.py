@@ -265,7 +265,7 @@ def _sat_descriptor_grid(params, feat):
 def forward(cfg: CVMConfig, params, state, grd, sat, *,
             train: bool = False, rng=None, loc_offsets=None,
             use_reference_matching: bool = False,
-            matching_impl: str = "einsum"):
+            matching_impl: str = "einsum", remat: bool = False):
     """Full CVM forward.
 
     Args:
@@ -306,14 +306,14 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
 
     grd_feat, _, new_state["grd_efficientnet"] = effnet.b0_apply(
         b0_grd, params["grd_efficientnet"], state["grd_efficientnet"], grd,
-        train=train, rng=rngs[0])
+        train=train, rng=rngs[0], remat=remat)
     descs = [
         _grd_descriptor(params[f"grd_feature_to_descriptor{k+1}"], grd_feat)
         for k in range(N_SCALES)]
 
     sat_feat, ms, new_state["sat_efficientnet"] = effnet.b0_apply(
         b0_sat, params["sat_efficientnet"], state["sat_efficientnet"], sat,
-        train=train, rng=rngs[1])
+        train=train, rng=rngs[1], remat=remat)
     skips = [ms[i] for i in cfg.skip_blocks]
 
     sat_desc = _sat_descriptor_grid(params["sat_feature_to_descriptors"],
@@ -332,17 +332,26 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
         elif s == 0:
             full_stack = stack
         stacks.append(full_stack if s == 0 else stack)
-        score_max = jnp.max(stack, axis=-1, keepdims=True)
-        x = jnp.concatenate([score_max, l2_normalize(x, axis=-1)], axis=-1)
         d_in, d_out, c_in, c_out = loc_widths[s]
         name = N_SCALES - s
-        x = deconv2x2_apply(params[f"deconv{name}"], x)
-        if s < 5:
-            x = jnp.concatenate([x, skips[s]], axis=-1)
-            x = _double_conv_apply(params[f"conv{name}"], x, c_in, c_out)
-        else:
-            x = _double_conv_apply(params[f"conv{name}"], x, c_in, c_out[0],
-                                   final_out=c_out[1])
+
+        def loc_stage(x, stack, dec_p, conv_p, skip, s=s, c_in=c_in,
+                      c_out=c_out):
+            score_max = jnp.max(stack, axis=-1, keepdims=True)
+            x = jnp.concatenate([score_max, l2_normalize(x, axis=-1)],
+                                axis=-1)
+            x = deconv2x2_apply(dec_p, x)
+            if s < 5:
+                x = jnp.concatenate([x, skip], axis=-1)
+                return _double_conv_apply(conv_p, x, c_in, c_out)
+            return _double_conv_apply(conv_p, x, c_in, c_out[0],
+                                      final_out=c_out[1])
+
+        if remat:
+            loc_stage = jax.checkpoint(loc_stage)
+        x = loc_stage(x, stack, params[f"deconv{name}"],
+                      params[f"conv{name}"],
+                      skips[s] if s < 5 else jnp.zeros((), x.dtype))
 
     b = x.shape[0]
     logits = x.reshape(b, -1)
@@ -353,13 +362,20 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
     for s in range(N_SCALES):
         d_in, d_out, c_in, c_out = ori_widths[s]
         name = N_SCALES - s
-        y = deconv2x2_apply(params[f"deconv{name}_ori"], y)
-        if s < 5:
-            y = jnp.concatenate([y, skips[s]], axis=-1)
-            y = _double_conv_apply(params[f"conv{name}_ori"], y, c_in, c_out)
-        else:
-            y = _double_conv_apply(params[f"conv{name}_ori"], y, c_in,
-                                   c_out[0], final_out=c_out[1])
+
+        def ori_stage(y, dec_p, conv_p, skip, s=s, c_in=c_in, c_out=c_out):
+            y = deconv2x2_apply(dec_p, y)
+            if s < 5:
+                y = jnp.concatenate([y, skip], axis=-1)
+                return _double_conv_apply(conv_p, y, c_in, c_out)
+            return _double_conv_apply(conv_p, y, c_in, c_out[0],
+                                      final_out=c_out[1])
+
+        if remat:
+            ori_stage = jax.checkpoint(ori_stage)
+        y = ori_stage(y, params[f"deconv{name}_ori"],
+                      params[f"conv{name}_ori"],
+                      skips[s] if s < 5 else jnp.zeros((), y.dtype))
     y = l2_normalize(y, axis=-1)
 
     return CVMOutputs(logits, heatmap, y, tuple(stacks)), new_state

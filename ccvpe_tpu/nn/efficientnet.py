@@ -256,12 +256,16 @@ def _block_apply(spec: BlockSpec, params, state, x, *, train, dc_rate, rng):
 
 
 def b0_apply(cfg: B0Config, params, state, x, *, train: bool = False,
-             rng=None):
+             rng=None, remat: bool = False):
     """Run stem + 16 MBConv blocks + head.
 
     Returns ``(head_features, multiscale, new_state)`` where ``multiscale`` is
     the list of all block outputs (``extract_features_multiscale``,
     reference ``model.py:303-326``).
+
+    ``remat=True`` checkpoints each MBConv block (block outputs are saved for
+    the backward pass; block internals are recomputed) — the activation-
+    memory lever for large train batches.
     """
     new_state = {}
     x = conv_apply(params["conv_stem"], x, cfg.stem)
@@ -274,8 +278,14 @@ def b0_apply(cfg: B0Config, params, state, x, *, train: bool = False,
     new_state["blocks"] = []
     for i, spec in enumerate(cfg.blocks):
         dc_rate = DROP_CONNECT_RATE * i / n  # ``model.py:262-264``
-        x, bs = _block_apply(spec, params["blocks"][i], state["blocks"][i], x,
-                             train=train, dc_rate=dc_rate, rng=rngs[i])
+
+        def block_fn(p, s, v, r, spec=spec, dc_rate=dc_rate):
+            return _block_apply(spec, p, s, v, train=train, dc_rate=dc_rate,
+                                rng=r)
+
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        x, bs = block_fn(params["blocks"][i], state["blocks"][i], x, rngs[i])
         new_state["blocks"].append(bs)
         multiscale.append(x)
 

@@ -69,13 +69,13 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
     """
 
     def train_step(state: TrainState, batch, rng):
-        def forward_fn(params, grd, sat):
+        def fwd(params, grd, sat):
+            # remat at MBConv-block / decoder-stage granularity (whole-
+            # forward checkpointing would not reduce the backward peak)
             return cvm.forward(model_cfg, params, state.bn_state,
                                grd.astype(compute_dtype),
                                sat.astype(compute_dtype),
-                               train=True, rng=rng)
-
-        fwd = jax.checkpoint(forward_fn) if remat else forward_fn
+                               train=True, rng=rng, remat=remat)
 
         def loss_fn(params):
             out, new_bn = fwd(params, batch["grd"], batch["sat"])
