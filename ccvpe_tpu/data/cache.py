@@ -92,8 +92,16 @@ class ArrayCache:
 
     @staticmethod
     def exists(out_prefix: str) -> bool:
-        return (os.path.exists(out_prefix + ".json")
-                and os.path.exists(out_prefix + ".u8"))
+        """True only for a readable, well-formed cache (corrupt metadata
+        counts as absent so callers rebuild instead of crashing)."""
+        if not (os.path.exists(out_prefix + ".json")
+                and os.path.exists(out_prefix + ".u8")):
+            return False
+        try:
+            with open(out_prefix + ".json") as f:
+                return json.load(f).get("magic") == _MAGIC
+        except (json.JSONDecodeError, OSError):
+            return False
 
     def __len__(self):
         return self.meta["n"]

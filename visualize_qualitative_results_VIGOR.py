@@ -72,7 +72,7 @@ def main(argv=None):
 
     heatmap = np.asarray(out.heatmap)[0, :, :, 0]
     ori = np.asarray(out.ori)[0]
-    gt = np.asarray(batch["gt"])[0, :, :, 0]
+    gt = np.asarray(batch["gt"])[0]
     sat_img = raw["sat"][0]
 
     loc_gt = np.unravel_index(gt.argmax(), gt.shape)
