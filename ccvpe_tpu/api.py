@@ -1,0 +1,135 @@
+"""High-level inference API: load a model, estimate a pose.
+
+The reference exposes pose estimation only through its training scripts;
+this is the front door for serving:
+
+    from ccvpe_tpu import api
+    model = api.load_model("model.pt", preset="VIGOR")
+    pose = model.predict(grd_image, sat_image, ori_noise=36.0)
+    pose.row, pose.col, pose.orientation_deg, pose.probability
+
+Images are uint8 RGB arrays (HWC) at any size; they are resized on host and
+normalized on device.  The forward is jitted once per (preset, batch,
+ori_noise) and reused — streaming per-frame estimation (the reference's
+14 FPS Oxford configuration) is one `predict` per frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .data import transforms
+from .models import cvm
+from .ops.readout import pose_readout
+from .train.metrics import angle_from_cos_sin
+
+
+@dataclass
+class Pose:
+    row: int                 # heatmap argmax (pixels, aerial frame)
+    col: int
+    orientation_deg: float   # heading from north (reference convention)
+    probability: float       # heatmap mass at the estimated location
+    heatmap: np.ndarray | None = None   # [H, W] if return_heatmap
+
+
+class CVMModel:
+    def __init__(self, cfg: cvm.CVMConfig, params, bn_state):
+        self.cfg = cfg
+        self.params = params
+        self.bn_state = bn_state
+        self._compiled: dict = {}
+
+    def _forward(self, n_bins_offsets):
+        key = n_bins_offsets
+        if key not in self._compiled:
+            offsets = (tuple(range(self.cfg.bins)) if key is None
+                       else tuple(range(-key, key + 1)))
+
+            @jax.jit
+            def fwd(params, state, grd, sat):
+                out, _ = cvm.forward(self.cfg, params, state, grd, sat,
+                                     train=False, loc_offsets=offsets)
+                idx = jnp.arange(out.heatmap.shape[0])
+                hm = out.heatmap[..., 0]
+                flat = jnp.argmax(hm.reshape(hm.shape[0], -1), axis=1)
+                pr, pc = flat // hm.shape[2], flat % hm.shape[2]
+                return {
+                    "row": pr, "col": pc,
+                    "prob": hm[idx, pr, pc],
+                    "cos": out.ori[idx, pr, pc, 0],
+                    "sin": out.ori[idx, pr, pc, 1],
+                    "heatmap": hm,
+                }
+
+            self._compiled[key] = fwd
+        return self._compiled[key]
+
+    def predict_batch(self, grd: np.ndarray, sat: np.ndarray, *,
+                      ori_noise: float = 180.0,
+                      return_heatmap: bool = False) -> list[Pose]:
+        """grd [B,H,W,3] uint8 (already model-sized), sat [B,H,W,3] uint8."""
+        n = None
+        if ori_noise < 180:
+            n = int((18 * (ori_noise // 18)) / 18)  # reference rounding
+        fwd = self._forward(n)
+        g = transforms.normalize_images(jnp.asarray(grd))
+        s = transforms.normalize_images(jnp.asarray(sat))
+        r = jax.device_get(fwd(self.params, self.bn_state, g, s))
+        poses = []
+        for i in range(grd.shape[0]):
+            ang, valid = angle_from_cos_sin(r["cos"][i], r["sin"][i])
+            poses.append(Pose(
+                row=int(r["row"][i]), col=int(r["col"][i]),
+                orientation_deg=float(ang) if valid else float("nan"),
+                probability=float(r["prob"][i]),
+                heatmap=np.asarray(r["heatmap"][i]) if return_heatmap
+                else None))
+        return poses
+
+    def predict(self, grd: np.ndarray, sat: np.ndarray, *,
+                ori_noise: float = 180.0,
+                return_heatmap: bool = False) -> Pose:
+        """Single query-aerial pair; images any size (resized on host)."""
+        grd = _prepare(grd, self.cfg.grd_hw)
+        sat = _prepare(sat, self.cfg.sat_hw)
+        return self.predict_batch(grd[None], sat[None], ori_noise=ori_noise,
+                                  return_heatmap=return_heatmap)[0]
+
+
+def _prepare(img: np.ndarray, hw) -> np.ndarray:
+    img = np.asarray(img, np.uint8)
+    if img.shape[:2] != tuple(hw):
+        from PIL import Image
+
+        img = np.asarray(Image.fromarray(img).resize((hw[1], hw[0]),
+                                                     Image.BILINEAR))
+    return img
+
+
+def load_model(checkpoint_path: str | None = None, preset: str = "VIGOR",
+               seed: int = 0) -> CVMModel:
+    """Build a model from a torch checkpoint (.pt), an orbax directory, or
+    random init (checkpoint_path=None)."""
+    cfg = cvm.PRESETS[preset]
+    if checkpoint_path is None:
+        params, bn_state = cvm.init(jax.random.PRNGKey(seed), cfg)
+    elif checkpoint_path.endswith(".pt"):
+        from .io.torch_import import import_cvm, load_state_dict
+
+        params, bn_state = import_cvm(load_state_dict(checkpoint_path))
+    else:
+        from .io.checkpoint import CheckpointManager
+        from .train import loop as train_loop
+
+        opt = train_loop.make_optimizer()
+        template = train_loop.create_train_state(cfg, jax.random.PRNGKey(0),
+                                                 opt)
+        state = CheckpointManager(checkpoint_path).restore(template)
+        params, bn_state = state.params, state.bn_state
+    return CVMModel(cfg, params, bn_state)

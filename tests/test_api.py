@@ -1,0 +1,69 @@
+"""High-level inference API tests (NANO preset)."""
+
+import numpy as np
+import pytest
+
+from ccvpe_tpu import api
+
+
+@pytest.fixture(scope="module")
+def model():
+    return api.load_model(None, preset="NANO")
+
+
+def test_predict_single_pair(model):
+    rng = np.random.default_rng(0)
+    grd = rng.integers(0, 255, (100, 222, 3), dtype=np.uint8)  # odd size
+    sat = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    pose = model.predict(grd, sat, return_heatmap=True)
+    h, w = model.cfg.sat_hw
+    assert 0 <= pose.row < h and 0 <= pose.col < w
+    assert 0 <= pose.probability <= 1
+    assert 0 <= pose.orientation_deg < 360
+    assert pose.heatmap.shape == (h, w)
+    np.testing.assert_allclose(pose.heatmap.sum(), 1.0, atol=1e-3)
+    # heatmap argmax agrees with the reported pose
+    r, c = np.unravel_index(pose.heatmap.argmax(), pose.heatmap.shape)
+    assert (r, c) == (pose.row, pose.col)
+
+
+def test_predict_with_orientation_prior(model):
+    rng = np.random.default_rng(1)
+    grd = rng.integers(0, 255, (64, 128, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    p_full = model.predict(grd, sat)
+    p_prior = model.predict(grd, sat, ori_noise=0.0)  # single-bin prior
+    assert np.isfinite(p_prior.probability)
+    # both compiled variants are cached
+    assert len(model._compiled) == 2
+    # deterministic across calls
+    p2 = model.predict(grd, sat)
+    assert (p2.row, p2.col) == (p_full.row, p_full.col)
+
+
+def test_predict_batch_matches_single(model):
+    rng = np.random.default_rng(2)
+    grd = rng.integers(0, 255, (2, 64, 128, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (2, 128, 128, 3), dtype=np.uint8)
+    batch = model.predict_batch(grd, sat)
+    for i, p in enumerate(batch):
+        single = model.predict(grd[i], sat[i])
+        assert (p.row, p.col) == (single.row, single.col)
+
+
+def test_load_model_from_orbax(tmp_path):
+    import jax
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.train import loop as train_loop
+
+    opt = train_loop.make_optimizer()
+    state = train_loop.create_train_state(cvm.NANO, jax.random.PRNGKey(5),
+                                          opt)
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    mngr.save(0, state, wait=True)
+    mngr.close()
+    m = api.load_model(str(tmp_path / "ck"), preset="NANO")
+    a = np.asarray(m.params["sat_feature_to_descriptors"]["w"])
+    b = np.asarray(state.params["sat_feature_to_descriptors"]["w"])
+    np.testing.assert_array_equal(a, b)
