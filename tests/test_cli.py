@@ -201,3 +201,21 @@ def test_train_and_eval_oxford_cli_smoke(synthetic_oxford, tmp_path):
         "--num_workers", "2",
     ])
     assert set(results) == {"test1", "test2", "test3"}
+
+
+def test_train_kitti_device_augment_cli(synthetic_kitti, tmp_path):
+    import train_KITTI
+
+    train_KITTI.main([
+        "--dataset_root", synthetic_kitti,
+        "--model_preset", "NANO",
+        "--rotation_range", "10",
+        "--device_augment",
+        "--epochs", "1",
+        "--steps_per_epoch", "1",
+        "-b", "4",
+        "--results_dir", str(tmp_path / "results"),
+        "--num_workers", "2",
+    ])
+    assert any("summary.json" in f
+               for f in os.listdir(tmp_path / "results"))

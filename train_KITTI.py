@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--test_model_path", type=str,
                    default="models/KITTI/no_orientation_prior/model.pt")
+    p.add_argument("--device_augment", action="store_true",
+                   help="run the aerial alignment chain batched on device "
+                        "for training (host only decodes); eval keeps the "
+                        "bit-faithful host path")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (f32 master weights)")
     p.add_argument("--remat", action="store_true",
@@ -81,8 +85,12 @@ def main(argv=None):
               shift_range_lon=args.shift_range_lon,
               rotation_range=args.rotation_range,
               grd_hw=cfg.grd_hw, sat_hw=cfg.sat_hw)
-    dev_train = lambda raw: kitti.device_batch(
-        raw, train=True, sat_hw=cfg.sat_hw, bins=cfg.bins)
+    if args.device_augment:
+        dev_train = lambda raw: kitti.device_batch_device_aug(
+            raw, train=True, mpp=mpp, sat_hw=cfg.sat_hw, bins=cfg.bins)
+    else:
+        dev_train = lambda raw: kitti.device_batch(
+            raw, train=True, sat_hw=cfg.sat_hw, bins=cfg.bins)
     dev_eval = lambda raw: kitti.device_batch(
         raw, train=False, sat_hw=cfg.sat_hw, bins=cfg.bins)
 
@@ -111,7 +119,8 @@ def main(argv=None):
 
     if training:
         index = kitti.KittiIndex.load(root, train_file, test=False)
-        sampler = kitti.KittiSampler(index, **kw)
+        sampler = kitti.KittiSampler(index, device_augment=args.device_augment,
+                                     **kw)
         if not (args.resume and trainer.resume()):
             trainer.init_state()
         rng = np.random.default_rng(0)
