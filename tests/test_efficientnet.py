@@ -116,3 +116,43 @@ def test_b1_scaled_backbone_parity(torch_oracle):
                                  train=False)
     assert_close(np.asarray(feat).transpose(0, 3, 1, 2), ref, atol=2e-4,
                  rtol=1e-3)
+
+
+def test_b0_train_mode_bn_parity(torch_oracle):
+    """Training-mode forward (batch statistics + running-stat updates) vs
+    torch, with stochastic depth disabled on both sides."""
+    torch = torch_oracle
+    import efficientnet_pytorch.model as enm
+
+    model = _make_ref_model(torch, circular=False)
+    # disable drop-connect for determinism (torch RNG != jax RNG)
+    orig_dc = enm.drop_connect
+    enm.drop_connect = lambda x, p, training: x
+    try:
+        model.train()
+        sd = {k: v.detach().numpy().copy()
+              for k, v in model.state_dict().items()}
+        x = np.random.default_rng(10).standard_normal((4, 3, 64, 96),
+                                                      dtype=np.float32)
+        with torch.no_grad():
+            ref = model.extract_features(torch.tensor(x)).numpy()
+    finally:
+        enm.drop_connect = orig_dc
+
+    cfg = effnet.b0_config(False)
+    params, state = import_b0(sd)
+    feat, _, new_state = effnet.b0_apply(
+        cfg, params, state, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=True, rng=None)  # rng=None disables drop-connect
+    assert_close(np.asarray(feat).transpose(0, 3, 1, 2), ref, atol=5e-4,
+                 rtol=1e-2)
+    # running stats updated identically (torch mutated them in-place)
+    for i in (0, 5, 15):
+        want_mean = model.state_dict()[f"_blocks.{i}._bn1.running_mean"].numpy()
+        got_mean = np.asarray(new_state["blocks"][i]["bn1"]["mean"])
+        assert_close(got_mean, want_mean, atol=1e-4, rtol=1e-3,
+                     msg=f"block {i} running mean")
+        want_var = model.state_dict()[f"_blocks.{i}._bn1.running_var"].numpy()
+        got_var = np.asarray(new_state["blocks"][i]["bn1"]["var"])
+        assert_close(got_var, want_var, atol=1e-4, rtol=1e-3,
+                     msg=f"block {i} running var")
