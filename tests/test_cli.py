@@ -219,3 +219,28 @@ def test_train_kitti_device_augment_cli(synthetic_kitti, tmp_path):
     ])
     assert any("summary.json" in f
                for f in os.listdir(tmp_path / "results"))
+
+
+def test_eval_vigor_frozen_orientation_cli(synthetic_vigor, tmp_path):
+    """Unknown-orientation eval consumes the frozen per-sample rotations
+    (reference train_VIGOR.py:73-79 semantics) from --orientation_dir."""
+    import train_VIGOR
+    from ccvpe_tpu.data import vigor
+
+    index = vigor.VigorIndex.load(synthetic_vigor, "samearea", False)
+    frozen = np.linspace(0, 359, len(index))
+    np.save(tmp_path / "samearea_orientation_test.npy", frozen)
+
+    summary = train_VIGOR.main([
+        "--dataset_root", synthetic_vigor,
+        "--model_preset", "NANO",
+        "--training", "False",
+        "--ori_noise", "180",
+        "--steps_per_epoch", "1",
+        "-b", "4",
+        "--test_model_path", str(tmp_path / "none"),
+        "--orientation_dir", str(tmp_path),
+        "--results_dir", str(tmp_path / "results"),
+        "--num_workers", "2",
+    ])
+    assert np.isfinite(summary["median_distance_m"])
