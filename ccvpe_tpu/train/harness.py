@@ -39,7 +39,8 @@ class Trainer:
                  checkpoint_dir: str | None = None, results_dir: str = "results",
                  label: str = "run", log_every: int = 200, seed: int = 17,
                  batch_size: int | None = None, profile_dir: str | None = None,
-                 compute_dtype: str = "float32", remat: bool = False):
+                 compute_dtype: str = "float32", remat: bool = False,
+                 checkpoint_every_steps: int = 0):
         self.model_cfg = model_cfg
         if mesh is None:
             # the data axis must divide the global batch
@@ -71,6 +72,10 @@ class Trainer:
         self.state = None
         self.profile_dir = profile_dir
         self._profiled = False
+        # preemption recovery: checkpoint mid-epoch every N steps (0 = per
+        # epoch only, the reference's cadence)
+        self.checkpoint_every_steps = checkpoint_every_steps
+        self._global_step = 0
 
     # -- state ------------------------------------------------------------
     def init_state(self, seed: int = 17):
@@ -126,8 +131,11 @@ class Trainer:
                 print(f"[{epoch}, {i + 1:5d}] loss: {running / n:.3f} "
                       f"({pairs / dt:.1f} pairs/s)")
                 running, n = 0.0, 0
-        if self.ckpt:
-            self.ckpt.save(epoch, jax.device_get(self.state), wait=True)
+        if self.ckpt and self.ckpt.latest_step() != self._global_step:
+            # checkpoints are keyed by global step (mid-epoch saves share the
+            # same namespace); skip if this step was just saved
+            self.ckpt.save(self._global_step, jax.device_get(self.state),
+                           wait=True)
         stats = timer.summary()
         if stats:
             print(f"epoch {epoch} step time: p50 {stats['p50_ms']:.0f} ms "

@@ -244,3 +244,25 @@ def test_eval_vigor_frozen_orientation_cli(synthetic_vigor, tmp_path):
         "--num_workers", "2",
     ])
     assert np.isfinite(summary["median_distance_m"])
+
+
+def test_checkpoint_every_steps(synthetic_vigor, tmp_path):
+    import train_VIGOR
+
+    train_VIGOR.main([
+        "--dataset_root", synthetic_vigor,
+        "--model_preset", "NANO",
+        "--epochs", "1",
+        "--steps_per_epoch", "3",
+        "-b", "4",
+        "--checkpoint_every_steps", "2",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--results_dir", str(tmp_path / "results"),
+        "--num_workers", "2",
+    ])
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    # mid-epoch step checkpoint (step 2) plus the per-epoch one (epoch 0...
+    # note epoch ids and step ids share the directory namespace; latest wins)
+    assert mngr.latest_step() is not None

@@ -41,6 +41,9 @@ def parse_args(argv=None):
                    help="run the aerial alignment chain batched on device "
                         "for training (host only decodes); eval keeps the "
                         "bit-faithful host path")
+    p.add_argument("--checkpoint_every_steps", type=int, default=0,
+                   help="also checkpoint mid-epoch every N steps "
+                        "(preemption recovery; 0 = per-epoch only)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (f32 master weights)")
     p.add_argument("--remat", action="store_true",
@@ -73,7 +76,8 @@ def main(argv=None):
         results_dir=args.results_dir, label=label,
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        remat=args.remat)
+        remat=args.remat,
+        checkpoint_every_steps=args.checkpoint_every_steps)
 
     root = args.dataset_root
     train_file = args.train_file or os.path.join(root, "train_files.txt")

@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--test_model_path", type=str,
                    default="models/OxfordRobotCar/model.pt")
+    p.add_argument("--checkpoint_every_steps", type=int, default=0,
+                   help="also checkpoint mid-epoch every N steps "
+                        "(preemption recovery; 0 = per-epoch only)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (f32 master weights)")
     p.add_argument("--remat", action="store_true",
@@ -66,7 +69,8 @@ def main(argv=None):
         results_dir=args.results_dir, label=label,
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        remat=args.remat)
+        remat=args.remat,
+        checkpoint_every_steps=args.checkpoint_every_steps)
 
     dev_train = lambda raw: oxford.device_batch(
         raw, train=True, sat_hw=cfg.sat_hw, bins=cfg.bins)

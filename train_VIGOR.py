@@ -49,6 +49,9 @@ def parse_args(argv=None):
     p.add_argument("--cache_dir", type=str, default="",
                    help="build/use preprocessed uint8 array caches "
                         "(decode-free input streaming)")
+    p.add_argument("--checkpoint_every_steps", type=int, default=0,
+                   help="also checkpoint mid-epoch every N steps "
+                        "(preemption recovery; 0 = per-epoch only)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (f32 master weights)")
     p.add_argument("--remat", action="store_true",
@@ -86,7 +89,8 @@ def main(argv=None):
         results_dir=args.results_dir, label=label,
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        remat=args.remat)
+        remat=args.remat,
+        checkpoint_every_steps=args.checkpoint_every_steps)
 
     grd_hw, sat_hw = cfg.grd_hw, cfg.sat_hw
 
