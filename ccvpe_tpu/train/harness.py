@@ -99,6 +99,7 @@ class Trainer:
             self.state = self.ckpt.restore(
                 jax.device_get(self.state))
             self.state = mesh_lib.replicate(self.mesh, self.state)
+            self._global_step = int(jax.device_get(self.state.step))
             return True
         return False
 
