@@ -40,7 +40,8 @@ class Trainer:
                  label: str = "run", log_every: int = 200, seed: int = 17,
                  batch_size: int | None = None, profile_dir: str | None = None,
                  compute_dtype: str = "float32", remat: bool = False,
-                 checkpoint_every_steps: int = 0):
+                 checkpoint_every_steps: int = 0,
+                 param_dtype: str = "float32"):
         self.model_cfg = model_cfg
         if mesh is None:
             # the data axis must divide the global batch
@@ -51,7 +52,13 @@ class Trainer:
                     n -= 1
             mesh = mesh_lib.create_mesh(n_data=n)
         self.mesh = mesh
-        self.optimizer = train_loop.make_optimizer(learning_rate)
+        import jax.numpy as _jnp
+
+        # bf16-resident params keep an f32 master in the optimizer state
+        self.param_dtype = {"float32": None, "bfloat16": _jnp.bfloat16}[
+            param_dtype]
+        self.optimizer = train_loop.make_optimizer(
+            learning_rate, f32_master=self.param_dtype is not None)
         self.results_dir = results_dir
         self.label = label
         self.log_every = log_every
@@ -80,7 +87,8 @@ class Trainer:
     # -- state ------------------------------------------------------------
     def init_state(self, seed: int = 17):
         state = train_loop.create_train_state(
-            self.model_cfg, jax.random.PRNGKey(seed), self.optimizer)
+            self.model_cfg, jax.random.PRNGKey(seed), self.optimizer,
+            param_dtype=self.param_dtype)
         self.state = mesh_lib.replicate(self.mesh, state)
         return self.state
 
@@ -88,7 +96,8 @@ class Trainer:
         from ..io.torch_import import load_state_dict
 
         state = train_loop.train_state_from_torch(load_state_dict(path),
-                                                  self.optimizer)
+                                                  self.optimizer,
+                                                  param_dtype=self.param_dtype)
         self.state = mesh_lib.replicate(self.mesh, state)
         return self.state
 

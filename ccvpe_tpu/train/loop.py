@@ -30,26 +30,77 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+class MasterState(NamedTuple):
+    master: Any
+    inner: Any
+
+
+def with_f32_master(inner) -> optax.GradientTransformation:
+    """Keep float32 master weights inside the optimizer state so the resident
+    params can live in bfloat16 (halving per-step weight HBM reads).
+
+    ``update`` casts incoming grads to f32, steps the inner optimizer against
+    the master copy, and emits f32 updates such that
+    ``optax.apply_updates`` (p + u in f32, cast back to ``p.dtype``) rounds
+    the resident params to the new master.
+    """
+
+    def init_fn(params):
+        master = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.float32), params)
+        return MasterState(master, inner.init(master))
+
+    def update_fn(grads, state, params):
+        g32 = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32), grads)
+        updates, new_inner = inner.update(g32, state.inner, state.master)
+        new_master = optax.apply_updates(state.master, updates)
+        out = jax.tree_util.tree_map(
+            lambda m, p: m - p.astype(jnp.float32), new_master, params)
+        return out, MasterState(new_master, new_inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(learning_rate: float = 1e-4, b1: float = 0.9,
-                   b2: float = 0.999):
-    """Adam with the reference's hyperparameters (``train_VIGOR.py:104``)."""
-    return optax.adam(learning_rate, b1=b1, b2=b2)
+                   b2: float = 0.999, f32_master: bool = False):
+    """Adam with the reference's hyperparameters (``train_VIGOR.py:104``).
+
+    ``f32_master=True`` wraps the optimizer for bf16-resident params (see
+    ``with_f32_master``); pair with ``param_dtype=jnp.bfloat16`` in
+    ``create_train_state``.
+    """
+    opt = optax.adam(learning_rate, b1=b1, b2=b2)
+    return with_f32_master(opt) if f32_master else opt
+
+
+def _cast_params(params, param_dtype):
+    if param_dtype is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(param_dtype), params)
 
 
 def create_train_state(model_cfg: cvm.CVMConfig, rng, optimizer,
-                       dtype=jnp.float32) -> TrainState:
+                       dtype=jnp.float32, param_dtype=None) -> TrainState:
+    """``param_dtype`` (e.g. ``jnp.bfloat16``) sets the resident param dtype;
+    the optimizer is initialized on the full-precision params first so an
+    ``f32_master`` wrapper captures the unrounded master copy."""
     params, bn_state = cvm.init(rng, model_cfg, dtype)
-    return TrainState(jnp.zeros((), jnp.int32), params, bn_state,
-                      optimizer.init(params))
+    opt_state = optimizer.init(params)
+    return TrainState(jnp.zeros((), jnp.int32),
+                      _cast_params(params, param_dtype), bn_state, opt_state)
 
 
-def train_state_from_torch(state_dict, optimizer) -> TrainState:
+def train_state_from_torch(state_dict, optimizer,
+                           param_dtype=None) -> TrainState:
     """Resume training from an imported reference checkpoint."""
     from ..io.torch_import import import_cvm
 
     params, bn_state = import_cvm(state_dict)
-    return TrainState(jnp.zeros((), jnp.int32), params, bn_state,
-                      optimizer.init(params))
+    opt_state = optimizer.init(params)
+    return TrainState(jnp.zeros((), jnp.int32),
+                      _cast_params(params, param_dtype), bn_state, opt_state)
 
 
 def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,

@@ -125,3 +125,42 @@ def test_training_learns_overfit(tiny_setup):
     assert late < 0.7 * early, (early, late)
     # heatmap CE should individually improve too
     assert losses[-1] < losses[0]
+
+
+def test_bf16_param_residency(tiny_setup):
+    """bf16-resident params with an f32 master: the master stays float32,
+    the resident params track cast(master) after every step, and the loss
+    trajectory stays close to the all-f32 run."""
+    cfg, _, state32, batch = tiny_setup
+    opt = train_loop.make_optimizer(1e-3, f32_master=True)
+    state = train_loop.create_train_state(
+        cfg, jax.random.PRNGKey(0), opt, param_dtype=jnp.bfloat16)
+    assert all(p.dtype == jnp.bfloat16
+               for p in jax.tree_util.tree_leaves(state.params))
+    master = state.opt_state.master
+    assert all(m.dtype == jnp.float32
+               for m in jax.tree_util.tree_leaves(master))
+
+    step = jax.jit(train_loop.make_train_step(
+        cfg, opt, compute_dtype=jnp.bfloat16))
+    for i in range(3):
+        state, parts = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(parts["loss"]))
+    # residency invariant: params == round(master) leaf-for-leaf
+    mismatch = jax.tree_util.tree_map(
+        lambda p, m: float(jnp.max(jnp.abs(
+            p.astype(jnp.float32) - m.astype(jnp.bfloat16).astype(
+                jnp.float32)))),
+        state.params, state.opt_state.master)
+    worst = max(jax.tree_util.tree_leaves(mismatch))
+    assert worst == 0.0, f"resident params diverged from master by {worst}"
+
+    # trajectory sanity vs the f32 reference optimizer at the same LR
+    opt32 = train_loop.make_optimizer(1e-3)
+    s32 = train_loop.create_train_state(cfg, jax.random.PRNGKey(0), opt32)
+    step32 = jax.jit(train_loop.make_train_step(cfg, opt32))
+    for i in range(3):
+        s32, parts32 = step32(s32, batch, jax.random.PRNGKey(i))
+    rel = abs(float(parts["loss"]) - float(parts32["loss"])) / max(
+        abs(float(parts32["loss"])), 1e-9)
+    assert rel < 0.05, (float(parts["loss"]), float(parts32["loss"]))

@@ -54,6 +54,9 @@ def parse_args(argv=None):
                         "(preemption recovery; 0 = per-epoch only)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (f32 master weights)")
+    p.add_argument("--bf16_params", action="store_true",
+                   help="store resident weights in bfloat16 (f32 master in "
+                        "the optimizer state; halves weight HBM reads)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward pass")
     p.add_argument("--model_preset", type=str, default="VIGOR")
@@ -89,6 +92,7 @@ def main(argv=None):
         results_dir=args.results_dir, label=label,
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        param_dtype="bfloat16" if args.bf16_params else "float32",
         remat=args.remat,
         checkpoint_every_steps=args.checkpoint_every_steps)
 
