@@ -13,6 +13,7 @@ Env knobs:
   CCVPE_BENCH_DTYPE   float32 | bfloat16 activations (default bfloat16)
   CCVPE_BENCH_ITERS   timed iterations (default 30)
   CCVPE_BENCH_PRESET  model preset (default VIGOR)
+  CCVPE_BENCH_MATCHING  einsum | pallas | reference (default einsum)
 """
 
 import json
@@ -26,6 +27,7 @@ def main():
     dtype_name = os.environ.get("CCVPE_BENCH_DTYPE", "bfloat16")
     iters = int(os.environ.get("CCVPE_BENCH_ITERS", "30"))
     preset = os.environ.get("CCVPE_BENCH_PRESET", "VIGOR")
+    matching = os.environ.get("CCVPE_BENCH_MATCHING", "einsum")
 
     import jax
     import jax.numpy as jnp
@@ -43,7 +45,8 @@ def main():
 
     def one_forward(params, state, grd, sat):
         out, _ = cvm.forward(cfg, params, state, grd.astype(dtype),
-                             sat.astype(dtype), train=False)
+                             sat.astype(dtype), train=False,
+                             matching_impl=matching)
         return out.heatmap, out.ori
 
     @jax.jit

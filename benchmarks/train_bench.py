@@ -2,7 +2,8 @@
 """Training-step throughput benchmark (single chip).
 
 Usage: python benchmarks/train_bench.py [preset] [batch,batch...] [dtype]
-Env:   CCVPE_TRAIN_BENCH_REMAT=1 to rematerialize the backward.
+Env:   CCVPE_TRAIN_BENCH_REMAT=1        rematerialize the backward
+       CCVPE_TRAIN_BENCH_BF16_PARAMS=1  bf16-resident weights (f32 master)
 
 Each configuration gets a fresh TrainState (the step donates its input
 buffers).  Reports ms/step and pairs/sec after one compile + warmup step.
@@ -23,6 +24,7 @@ def main():
                (sys.argv[2] if len(sys.argv) > 2 else "8,16").split(",")]
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
     remat = os.environ.get("CCVPE_TRAIN_BENCH_REMAT") == "1"
+    bf16_params = os.environ.get("CCVPE_TRAIN_BENCH_BF16_PARAMS") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -33,13 +35,15 @@ def main():
 
     cfg = cvm.PRESETS[preset]
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
-    opt = train_loop.make_optimizer()
+    opt = train_loop.make_optimizer(f32_master=bf16_params)
+    param_dtype = jnp.bfloat16 if bf16_params else None
     step = train_loop.make_train_step(cfg, opt, remat=remat,
                                       compute_dtype=dtype)
     jstep = jax.jit(step, donate_argnums=(0,))
 
     for b in batches:
-        state = train_loop.create_train_state(cfg, jax.random.PRNGKey(0), opt)
+        state = train_loop.create_train_state(cfg, jax.random.PRNGKey(0), opt,
+                                              param_dtype=param_dtype)
         rng = np.random.default_rng(0)
         h, w = cfg.sat_hw
         gt, weights, omap = gt_ops.synthesize_batch_factored(
@@ -67,7 +71,8 @@ def main():
             state, parts = jstep(state, batch, jax.random.PRNGKey(i))
         loss = float(parts["loss"])
         dt = (time.perf_counter() - t0) / n
-        print(f"{preset} B={b} {dtype_name} remat={remat}: "
+        print(f"{preset} B={b} {dtype_name} remat={remat} "
+              f"bf16_params={bf16_params}: "
               f"{dt * 1e3:.0f} ms/step -> {b / dt:.1f} pairs/s "
               f"(loss {loss:.0f})", flush=True)
 

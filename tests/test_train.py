@@ -164,3 +164,30 @@ def test_bf16_param_residency(tiny_setup):
     rel = abs(float(parts["loss"]) - float(parts32["loss"])) / max(
         abs(float(parts32["loss"])), 1e-9)
     assert rel < 0.05, (float(parts["loss"]), float(parts32["loss"]))
+
+
+def test_bf16_checkpoint_roundtrip(tiny_setup, tmp_path):
+    """Full-state checkpoint round-trip with the MasterState optimizer
+    wrapper (bf16 resident params + f32 master copy)."""
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+
+    cfg, _, _, batch = tiny_setup
+    opt = train_loop.make_optimizer(1e-3, f32_master=True)
+    state = train_loop.create_train_state(
+        cfg, jax.random.PRNGKey(11), opt, param_dtype=jnp.bfloat16)
+    step = jax.jit(train_loop.make_train_step(
+        cfg, opt, compute_dtype=jnp.bfloat16))
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(1, jax.device_get(state), wait=True)
+    template = train_loop.create_train_state(
+        cfg, jax.random.PRNGKey(99), opt, param_dtype=jnp.bfloat16)
+    restored = mngr.restore(jax.device_get(template))
+    mngr.close()
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored opt state keeps the MasterState structure
+    assert isinstance(restored.opt_state, train_loop.MasterState)
