@@ -85,10 +85,10 @@ class Trainer:
         self._global_step = 0
 
     # -- state ------------------------------------------------------------
-    def init_state(self, seed: int = 17):
+    def init_state(self, seed: int = 17, pretrained_b0: str | None = None):
         state = train_loop.create_train_state(
             self.model_cfg, jax.random.PRNGKey(seed), self.optimizer,
-            param_dtype=self.param_dtype)
+            param_dtype=self.param_dtype, pretrained_b0=pretrained_b0)
         self.state = mesh_lib.replicate(self.mesh, state)
         return self.state
 

@@ -82,11 +82,25 @@ def _cast_params(params, param_dtype):
 
 
 def create_train_state(model_cfg: cvm.CVMConfig, rng, optimizer,
-                       dtype=jnp.float32, param_dtype=None) -> TrainState:
+                       dtype=jnp.float32, param_dtype=None,
+                       pretrained_b0: str | None = None) -> TrainState:
     """``param_dtype`` (e.g. ``jnp.bfloat16``) sets the resident param dtype;
     the optimizer is initialized on the full-precision params first so an
-    ``f32_master`` wrapper captures the unrounded master copy."""
+    ``f32_master`` wrapper captures the unrounded master copy.
+
+    ``pretrained_b0``: path to a raw EfficientNet-B0 torch state_dict (the
+    lukemelas release file); both encoders start from it — the reference's
+    ``EfficientNet.from_pretrained`` training init
+    (``models.py:55,99``, ``efficientnet_pytorch/utils.py:729-762``; the
+    classifier head ``_fc.*`` is unused, matching ``load_fc=False``).
+    """
     params, bn_state = cvm.init(rng, model_cfg, dtype)
+    if pretrained_b0 is not None:
+        from ..io.torch_import import import_b0, load_state_dict
+
+        sd = load_state_dict(pretrained_b0)
+        for enc in ("grd_efficientnet", "sat_efficientnet"):
+            params[enc], bn_state[enc] = import_b0(sd)
     opt_state = optimizer.init(params)
     return TrainState(jnp.zeros((), jnp.int32),
                       _cast_params(params, param_dtype), bn_state, opt_state)

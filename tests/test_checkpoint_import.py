@@ -59,3 +59,37 @@ def test_visualizer_smoke(synthetic_vigor, tmp_path):  # noqa: F811
               "--dataset_root", synthetic_vigor, "--test_model_path", "",
               "--out", out])
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_pretrained_b0_init(torch_oracle, tmp_path):
+    """--pretrained_b0: a raw EfficientNet-B0 state_dict file seeds both
+    encoders of a fresh TrainState (reference ``from_pretrained`` init);
+    non-encoder params stay at random init."""
+    torch = torch_oracle
+    import efficientnet_pytorch.model as enm
+    import jax
+    import numpy as np_
+
+    b0 = enm.EfficientNet.from_name("efficientnet-b0", False)
+    path = str(tmp_path / "b0.pth")
+    torch.save(b0.state_dict(), path)
+
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.train import loop as train_loop
+
+    opt = train_loop.make_optimizer()
+    state = train_loop.create_train_state(
+        cvm.NANO, jax.random.PRNGKey(0), opt, pretrained_b0=path)
+    ref = train_loop.create_train_state(cvm.NANO, jax.random.PRNGKey(0), opt)
+
+    stem = b0.state_dict()["_conv_stem.weight"].numpy().transpose(2, 3, 1, 0)
+    for enc in ("grd_efficientnet", "sat_efficientnet"):
+        np_.testing.assert_array_equal(
+            np_.asarray(state.params[enc]["conv_stem"]["w"]), stem)
+        np_.testing.assert_array_equal(
+            np_.asarray(state.bn_state[enc]["bn1"]["mean"]),
+            b0.state_dict()["_bn1.running_mean"].numpy())
+    # non-encoder params untouched by the import
+    np_.testing.assert_array_equal(
+        np_.asarray(state.params["deconv6"]["w"]),
+        np_.asarray(ref.params["deconv6"]["w"]))

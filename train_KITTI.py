@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="also checkpoint mid-epoch every N steps "
                         "(preemption recovery; 0 = per-epoch only)")
+    p.add_argument("--pretrained_b0", type=str, default="",
+                   help="path to a raw EfficientNet-B0 torch state_dict; "
+                        "both encoders start from it (the reference's "
+                        "from_pretrained init)")
     p.add_argument("--bf16_params", action="store_true",
                    help="store resident weights in bfloat16 (f32 master in "
                         "the optimizer state)")
@@ -130,7 +134,7 @@ def main(argv=None):
         sampler = kitti.KittiSampler(index, device_augment=args.device_augment,
                                      **kw)
         if not (args.resume and trainer.resume()):
-            trainer.init_state()
+            trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
         rng = np.random.default_rng(0)
         for epoch in range(args.epochs):
             order = limit(np.arange(len(index)))

@@ -54,6 +54,10 @@ def parse_args(argv=None):
                         "(preemption recovery; 0 = per-epoch only)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (f32 master weights)")
+    p.add_argument("--pretrained_b0", type=str, default="",
+                   help="path to a raw EfficientNet-B0 torch state_dict; "
+                        "both encoders start from it (the reference's "
+                        "from_pretrained init)")
     p.add_argument("--bf16_params", action="store_true",
                    help="store resident weights in bfloat16 (f32 master in "
                         "the optimizer state; halves weight HBM reads)")
@@ -131,7 +135,7 @@ def main(argv=None):
             val_idx = val_idx[:args.steps_per_epoch * args.batch_size]
 
         if not (args.resume and trainer.resume()):
-            trainer.init_state()
+            trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
         rng = np.random.default_rng(0)
 
         dev_train = lambda raw: crop_fov(vigor.device_batch(
