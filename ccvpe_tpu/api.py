@@ -112,6 +112,90 @@ def _prepare(img: np.ndarray, hw) -> np.ndarray:
     return img
 
 
+def export_model(model: CVMModel, path: str, *, batch: int = 1,
+                 ori_noise: float = 180.0,
+                 platforms: Sequence[str] | None = None) -> None:
+    """Serialize the inference computation for deployment.
+
+    Writes a directory with the ``jax.export`` StableHLO artifact of the
+    jitted pose forward (fixed ``batch``; params as inputs) plus the weights.
+    The artifact is loadable without this package's model code — the serving
+    host only needs jax (``load_exported``).
+
+    ``platforms``: lowering platforms, e.g. ``("tpu", "cpu")`` for an
+    artifact that runs on both; defaults to the current backend.
+    """
+    import os
+    import pickle
+
+    from jax import export as jexport
+
+    n = None
+    if ori_noise < 180:
+        n = int((18 * (ori_noise // 18)) / 18)
+    fwd = model._forward(n)
+
+    cfg = model.cfg
+    spec = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    arg_specs = (
+        jax.tree_util.tree_map(
+            lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), model.params),
+        jax.tree_util.tree_map(
+            lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), model.bn_state),
+        spec((batch, *cfg.grd_hw, 3)),
+        spec((batch, *cfg.sat_hw, 3)),
+    )
+    exp = jexport.export(fwd, platforms=platforms)(*arg_specs)
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "forward.stablehlo"), "wb") as f:
+        f.write(exp.serialize())
+    with open(os.path.join(path, "weights.pkl"), "wb") as f:
+        pickle.dump(jax.device_get((model.params, model.bn_state)), f)
+    with open(os.path.join(path, "meta.pkl"), "wb") as f:
+        pickle.dump({"preset_grd_hw": cfg.grd_hw, "preset_sat_hw": cfg.sat_hw,
+                     "batch": batch, "ori_noise": ori_noise}, f)
+
+
+class ExportedModel:
+    """A deserialized export: fixed-batch pose inference, no model code."""
+
+    def __init__(self, path: str):
+        import os
+        import pickle
+
+        from jax import export as jexport
+
+        with open(os.path.join(path, "forward.stablehlo"), "rb") as f:
+            self._exported = jexport.deserialize(bytearray(f.read()))
+        with open(os.path.join(path, "weights.pkl"), "rb") as f:
+            self.params, self.bn_state = pickle.load(f)
+        with open(os.path.join(path, "meta.pkl"), "rb") as f:
+            self.meta = pickle.load(f)
+        self._call = jax.jit(self._exported.call)
+
+    def predict_batch(self, grd: np.ndarray, sat: np.ndarray,
+                      *, return_heatmap: bool = False) -> list[Pose]:
+        g = transforms.normalize_images(jnp.asarray(grd))
+        s = transforms.normalize_images(jnp.asarray(sat))
+        r = jax.device_get(self._call(self.params, self.bn_state, g, s))
+        poses = []
+        for i in range(grd.shape[0]):
+            ang, valid = angle_from_cos_sin(r["cos"][i], r["sin"][i])
+            poses.append(Pose(
+                row=int(r["row"][i]), col=int(r["col"][i]),
+                orientation_deg=float(ang) if valid else float("nan"),
+                probability=float(r["prob"][i]),
+                heatmap=np.asarray(r["heatmap"][i]) if return_heatmap
+                else None))
+        return poses
+
+
+def load_exported(path: str) -> ExportedModel:
+    """Load a directory written by ``export_model``."""
+    return ExportedModel(path)
+
+
 def load_model(checkpoint_path: str | None = None, preset: str = "VIGOR",
                seed: int = 0) -> CVMModel:
     """Build a model from a torch checkpoint (.pt), an orbax directory, or

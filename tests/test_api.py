@@ -67,3 +67,27 @@ def test_load_model_from_orbax(tmp_path):
     a = np.asarray(m.params["sat_feature_to_descriptors"]["w"])
     b = np.asarray(state.params["sat_feature_to_descriptors"]["w"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_export_roundtrip(tmp_path):
+    """export_model -> load_exported reproduces predict_batch exactly on the
+    same platform (serialized StableHLO + pickled weights, no model code)."""
+    import numpy as np
+    from ccvpe_tpu import api
+    from ccvpe_tpu.models import cvm
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(__import__("jax").random.PRNGKey(3),
+                                             cvm.NANO))
+    rng = np.random.default_rng(0)
+    grd = rng.integers(0, 255, (2, *cvm.NANO.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (2, *cvm.NANO.sat_hw, 3), dtype=np.uint8)
+    direct = model.predict_batch(grd, sat, return_heatmap=True)
+
+    path = str(tmp_path / "export")
+    api.export_model(model, path, batch=2)
+    served = api.load_exported(path).predict_batch(grd, sat,
+                                                   return_heatmap=True)
+    for d, s in zip(direct, served):
+        assert (d.row, d.col) == (s.row, s.col)
+        np.testing.assert_allclose(d.heatmap, s.heatmap, rtol=0, atol=0)
+        np.testing.assert_allclose(d.orientation_deg, s.orientation_deg)
