@@ -60,7 +60,7 @@ def parse_args(argv=None):
                         "from_pretrained init)")
     p.add_argument("--bf16_params", action="store_true",
                    help="store resident weights in bfloat16 (f32 master in "
-                        "the optimizer state; halves weight HBM reads)")
+                        "the optimizer state; frees weight HBM)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward pass")
     p.add_argument("--model_preset", type=str, default="VIGOR")
