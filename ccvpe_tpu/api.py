@@ -39,10 +39,12 @@ class Pose:
 
 
 class CVMModel:
-    def __init__(self, cfg: cvm.CVMConfig, params, bn_state):
+    def __init__(self, cfg: cvm.CVMConfig, params, bn_state,
+                 matching_impl: str = "einsum"):
         self.cfg = cfg
         self.params = params
         self.bn_state = bn_state
+        self.matching_impl = matching_impl
         self._compiled: dict = {}
 
     def _forward(self, n_bins_offsets):
@@ -54,7 +56,8 @@ class CVMModel:
             @jax.jit
             def fwd(params, state, grd, sat):
                 out, _ = cvm.forward(self.cfg, params, state, grd, sat,
-                                     train=False, loc_offsets=offsets)
+                                     train=False, loc_offsets=offsets,
+                                     matching_impl=self.matching_impl)
                 idx = jnp.arange(out.heatmap.shape[0])
                 hm = out.heatmap[..., 0]
                 flat = jnp.argmax(hm.reshape(hm.shape[0], -1), axis=1)
@@ -197,9 +200,12 @@ def load_exported(path: str) -> ExportedModel:
 
 
 def load_model(checkpoint_path: str | None = None, preset: str = "VIGOR",
-               seed: int = 0) -> CVMModel:
+               seed: int = 0, matching_impl: str = "einsum") -> CVMModel:
     """Build a model from a torch checkpoint (.pt), an orbax directory, or
-    random init (checkpoint_path=None)."""
+    random init (checkpoint_path=None).
+
+    ``matching_impl``: 'einsum' (default) or 'pallas' (fused TPU kernel with
+    the decoder-stage epilogue; falls back to the interpreter off-TPU)."""
     cfg = cvm.PRESETS[preset]
     if checkpoint_path is None:
         params, bn_state = cvm.init(jax.random.PRNGKey(seed), cfg)
@@ -216,4 +222,4 @@ def load_model(checkpoint_path: str | None = None, preset: str = "VIGOR",
                                                  opt)
         state = CheckpointManager(checkpoint_path).restore(template)
         params, bn_state = state.params, state.bn_state
-    return CVMModel(cfg, params, bn_state)
+    return CVMModel(cfg, params, bn_state, matching_impl=matching_impl)

@@ -296,6 +296,19 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
             return matching_scores(x, g, shift, offsets, window)
     else:
         match = matching_scores
+
+    def match_epi(x, g, shift, offsets, window):
+        """Matching + LMU epilogue.  Pallas v2 path: the kernel also emits
+        max-over-bins and the l2-normalized features from the same VMEM
+        tile (one HBM sweep saved per stage); elsewhere the epilogue stays
+        inside the (possibly rematerialized) stage body."""
+        if (matching_impl == "pallas" and x.shape[-1] >= 128
+                and g.shape[-1] == x.shape[-1]):
+            from ..ops.pallas_matching import matching_epilogue_pallas
+
+            return matching_epilogue_pallas(x, g, shift, tuple(offsets),
+                                            window)
+        return match(x, g, shift, offsets, window), None, None
     full_bins = tuple(range(cfg.bins))
     loc_bins = full_bins if loc_offsets is None else tuple(loc_offsets)
 
@@ -321,9 +334,13 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
 
     loc_widths = _decoder_widths(cfg, "loc")
     stacks = []
+    sat_desc_norm = None
     x = sat_desc
     for s in range(N_SCALES):
-        stack = match(x, descs[s], cfg.shifts[s], loc_bins, cfg.window)
+        stack, smax, xnorm = match_epi(x, descs[s], cfg.shifts[s], loc_bins,
+                                       cfg.window)
+        if s == 0 and xnorm is not None:
+            sat_desc_norm = xnorm  # bin-independent; reused by the ori branch
         if s == 0 and loc_bins != full_bins:
             # ori-prior: the orientation decoder (and returned stack) use the
             # full bin range at the bottleneck (``models.py:501-511``)
@@ -347,18 +364,36 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
             return _double_conv_apply(conv_p, x, c_in, c_out[0],
                                       final_out=c_out[1])
 
+        def loc_stage_fused(smax, xnorm, dec_p, conv_p, skip, s=s,
+                            c_in=c_in, c_out=c_out):
+            x = jnp.concatenate([smax, xnorm], axis=-1)
+            x = deconv2x2_apply(dec_p, x)
+            if s < 5:
+                x = jnp.concatenate([x, skip], axis=-1)
+                return _double_conv_apply(conv_p, x, c_in, c_out)
+            return _double_conv_apply(conv_p, x, c_in, c_out[0],
+                                      final_out=c_out[1])
+
         if remat:
             loc_stage = jax.checkpoint(loc_stage)
-        x = loc_stage(x, stack, params[f"deconv{name}"],
-                      params[f"conv{name}"],
-                      skips[s] if s < 5 else jnp.zeros((), x.dtype))
+            loc_stage_fused = jax.checkpoint(loc_stage_fused)
+        skip = skips[s] if s < 5 else jnp.zeros((), x.dtype)
+        if smax is not None:
+            x = loc_stage_fused(smax, xnorm, params[f"deconv{name}"],
+                                params[f"conv{name}"], skip)
+        else:
+            x = loc_stage(x, stack, params[f"deconv{name}"],
+                          params[f"conv{name}"], skip)
 
     b = x.shape[0]
     logits = x.reshape(b, -1)
     heatmap = jax.nn.softmax(logits, axis=-1).reshape(x.shape)
 
     ori_widths = _decoder_widths(cfg, "ori")
-    y = jnp.concatenate([stacks[0], l2_normalize(sat_desc, axis=-1)], axis=-1)
+    y = jnp.concatenate(
+        [stacks[0],
+         sat_desc_norm if sat_desc_norm is not None
+         else l2_normalize(sat_desc, axis=-1)], axis=-1)
     for s in range(N_SCALES):
         d_in, d_out, c_in, c_out = ori_widths[s]
         name = N_SCALES - s

@@ -44,17 +44,26 @@ def _kernel(x_ref, w_ref, m_ref, g_ref, out_ref, *, full_window: bool):
     out_ref[0] = (num / (jnp.sqrt(sq) * gnorm)).astype(out_ref.dtype)
 
 
-def _pick_tile(hw: int, cs: int) -> int:
-    # larger tiles amortize the lane padding of small channel counts
-    budget = max(512, min(4096, (1 << 21) // max(cs, 1)))  # ~2MB fp32 tile
+def _pick_tile(hw: int, cs: int, budget_bytes: int = 1 << 21,
+               cap: int = 4096) -> int:
+    # larger tiles amortize the lane padding of small channel counts; the
+    # budget bounds the f32 tile so the kernel's working set fits scoped VMEM
+    budget = max(512, min(cap, budget_bytes // max(cs, 1)))
     for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if t <= budget and hw % t == 0:
             return t
     return hw
 
 
+def _auto_interpret(interpret: bool) -> bool:
+    # the kernel targets TPU; on any other backend fall back to the Pallas
+    # interpreter so `matching_impl="pallas"` stays runnable everywhere
+    return interpret or jax.default_backend() != "tpu"
+
+
 def _forward(x, g, shift: int, offsets: tuple[int, ...], window: str,
              interpret: bool):
+    interpret = _auto_interpret(interpret)
     b, h, w_sp, cs = x.shape
     cg = g.shape[-1]
     start = window_start(cs, cg, window)
@@ -129,3 +138,130 @@ def _bwd(shift, offsets, window, interpret, res, ct):
 
 
 matching_scores_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: matching + decoder-stage epilogue in one pass.
+#
+# Every LMU stage consumes, besides the score stack, ``max(stack, bins)`` and
+# ``l2_normalize(x, channels)`` (reference ``models.py:204-317``).  Both share
+# the kernel's per-pixel sum-of-squares, so emitting them from the same VMEM
+# tile removes one full HBM re-read of the feature map per stage.  Full-window
+# (Cg == Cs) configs only — true at all six VIGOR/Oxford scales.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_fused(x_ref, w_ref, g_ref, scores_ref, smax_ref, xnorm_ref):
+    x = x_ref[0].astype(jnp.float32)                      # [T, Cs]
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)           # [T, 1]
+    norm = jnp.sqrt(sq)
+    num = jnp.dot(x, w_ref[0].astype(jnp.float32),
+                  preferred_element_type=jnp.float32)     # [T, bins]
+    gnorm = g_ref[pl.program_id(0), 0]
+    scores = num / (norm * gnorm)
+    scores_ref[0] = scores.astype(scores_ref.dtype)
+    # cast after the f32 max: rounding is monotonic, so this equals the max
+    # over the cast stack bit-for-bit
+    smax_ref[0] = jnp.max(scores, axis=-1, keepdims=True).astype(
+        smax_ref.dtype)
+    # F.normalize(p=2) semantics (nn.layers.l2_normalize)
+    xnorm_ref[0] = (x / jnp.maximum(norm, 1e-12)).astype(xnorm_ref.dtype)
+
+
+def _forward_fused(x, g, shift: int, offsets: tuple[int, ...], window: str,
+                   interpret: bool):
+    interpret = _auto_interpret(interpret)
+    b, h, w_sp, cs = x.shape
+    cg = g.shape[-1]
+    assert cg == cs, "fused epilogue kernel requires the full-window config"
+    start = window_start(cs, cg, window)
+    bins = len(offsets)
+    hw = h * w_sp
+    # tighter budget than v1: three outputs + two [T,Cs] f32 temporaries
+    # share the ~16MB scoped-VMEM stack
+    tile = _pick_tile(hw, cs, budget_bytes=1 << 20, cap=2048)
+
+    gp = jnp.pad(g, ((0, 0), (0, cs - cg)))
+    wmat = jnp.stack(
+        [jnp.roll(gp, (start + i * shift) % cs, axis=1) for i in offsets],
+        axis=-1)
+    gnorm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)),
+                             axis=-1))[:, None]
+
+    xf = x.reshape(b, hw, cs)
+    scores, smax, xnorm = pl.pallas_call(
+        _kernel_fused,
+        grid=(b, hw // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, cs), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cs, bins), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, bins), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, cs), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hw, bins), x.dtype),
+            jax.ShapeDtypeStruct((b, hw, 1), x.dtype),
+            jax.ShapeDtypeStruct((b, hw, cs), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hw * cs * bins + 3 * b * hw * cs,
+            bytes_accessed=2 * b * hw * cs * x.dtype.itemsize
+            + b * hw * bins * x.dtype.itemsize,
+            transcendentals=2 * b * hw,
+        ),
+        interpret=interpret,
+    )(xf, wmat.astype(x.dtype), gnorm)
+    return (scores.reshape(b, h, w_sp, bins),
+            smax.reshape(b, h, w_sp, 1),
+            xnorm.reshape(b, h, w_sp, cs))
+
+
+def _fused_reference(x, g, shift, offsets, window):
+    """Composite lax formulation of the fused op (numerics oracle + VJP)."""
+    s = matching_scores(x, g, shift, offsets, window)
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    xnorm = (x.astype(jnp.float32)
+             / jnp.maximum(jnp.sqrt(sq), 1e-12)).astype(x.dtype)
+    return s, smax, xnorm
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def matching_epilogue_pallas(x, g, shift: int, offsets: tuple[int, ...],
+                             window: str = "first",
+                             interpret: bool = False):
+    """Fused matching + LMU-stage epilogue: returns
+    ``(scores [B,H,W,bins], max-over-bins [B,H,W,1], l2-normalized x)``.
+
+    One VMEM pass instead of matching + two extra HBM sweeps.  Requires
+    Cg == Cs (all VIGOR/Oxford scales).
+    """
+    return _forward_fused(x, g, shift, tuple(int(o) for o in offsets),
+                          window, interpret)
+
+
+def _fused_fwd(x, g, shift, offsets, window, interpret):
+    out = _forward_fused(x, g, shift, tuple(int(o) for o in offsets),
+                         window, interpret)
+    return out, (x, g)
+
+
+def _fused_bwd(shift, offsets, window, interpret, res, ct):
+    x, g = res
+    _, vjp = jax.vjp(
+        lambda x_, g_: _fused_reference(x_, g_, shift, tuple(offsets),
+                                        window), x, g)
+    return vjp(ct)
+
+
+matching_epilogue_pallas.defvjp(_fused_fwd, _fused_bwd)

@@ -58,3 +58,68 @@ def test_pallas_odd_spatial_tile():
     want = matching_scores(x, g, 16, offsets)
     got = matching_scores_pallas(x, g, 16, offsets, "first", True)
     assert_close(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("cs,shift,bins,window", [
+    (1280, 64, 20, "first"),    # VIGOR scale 1
+    (256, 16, 20, "center"),
+])
+def test_fused_epilogue_matches_composite(cs, shift, bins, window):
+    from ccvpe_tpu.nn.layers import l2_normalize
+    from ccvpe_tpu.ops.pallas_matching import matching_epilogue_pallas
+
+    rng = np.random.default_rng(cs)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, cs)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, cs)), jnp.float32)
+    offsets = tuple(range(bins))
+    s, smax, xnorm = matching_epilogue_pallas(x, g, shift, offsets, window,
+                                              True)
+    want = matching_scores(x, g, shift, offsets, window)
+    assert_close(s, want, atol=1e-5, rtol=1e-5)
+    assert_close(smax, jnp.max(want, axis=-1, keepdims=True),
+                 atol=1e-5, rtol=1e-5)
+    assert_close(xnorm, l2_normalize(x, axis=-1), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_epilogue_gradients():
+    from ccvpe_tpu.ops.pallas_matching import matching_epilogue_pallas
+    from ccvpe_tpu.nn.layers import l2_normalize
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 128)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+    offsets = tuple(range(8))
+
+    def loss_fused(x, g):
+        s, smax, xnorm = matching_epilogue_pallas(x, g, 16, offsets,
+                                                  "first", True)
+        return jnp.sum(s ** 2) + jnp.sum(smax) + jnp.sum(xnorm ** 3)
+
+    def loss_composite(x, g):
+        s = matching_scores(x, g, 16, offsets, "first")
+        return (jnp.sum(s ** 2) + jnp.sum(jnp.max(s, axis=-1))
+                + jnp.sum(l2_normalize(x, axis=-1) ** 3))
+
+    gx_p, gg_p = jax.grad(loss_fused, argnums=(0, 1))(x, g)
+    gx_e, gg_e = jax.grad(loss_composite, argnums=(0, 1))(x, g)
+    assert_close(gx_p, gx_e, atol=1e-4, rtol=1e-4)
+    assert_close(gg_p, gg_e, atol=1e-4, rtol=1e-4)
+
+
+def test_model_forward_pallas_matches_einsum():
+    """Full NANO forward with matching_impl='pallas' (fused epilogue where
+    dispatched, interpreter on CPU) equals the einsum forward."""
+    from ccvpe_tpu.models import cvm
+
+    cfg = cvm.NANO
+    params, state = cvm.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    grd = jnp.asarray(rng.standard_normal((1, *cfg.grd_hw, 3)), jnp.float32)
+    sat = jnp.asarray(rng.standard_normal((1, *cfg.sat_hw, 3)), jnp.float32)
+    out_e, _ = cvm.forward(cfg, params, state, grd, sat, train=False)
+    out_p, _ = cvm.forward(cfg, params, state, grd, sat, train=False,
+                           matching_impl="pallas")
+    assert_close(out_p.heatmap, out_e.heatmap, atol=1e-6, rtol=1e-5)
+    assert_close(out_p.ori, out_e.ori, atol=1e-5, rtol=1e-5)
+    for a, b in zip(out_p.matching_scores, out_e.matching_scores):
+        assert_close(a, b, atol=1e-5, rtol=1e-5)
