@@ -91,3 +91,22 @@ def test_export_roundtrip(tmp_path):
         assert (d.row, d.col) == (s.row, s.col)
         np.testing.assert_allclose(d.heatmap, s.heatmap, rtol=0, atol=0)
         np.testing.assert_allclose(d.orientation_deg, s.orientation_deg)
+
+
+def test_api_matching_impl_plumbing():
+    """CVMModel(matching_impl='pallas') routes through the fused kernel
+    (interpreter off-TPU) and agrees with the default einsum model."""
+    import jax
+    import numpy as np
+    from ccvpe_tpu import api
+    from ccvpe_tpu.models import cvm
+
+    m_e = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(3), cvm.NANO))
+    m_p = api.CVMModel(cvm.NANO, m_e.params, m_e.bn_state,
+                       matching_impl="pallas")
+    rng = np.random.default_rng(0)
+    grd = rng.integers(0, 255, (*cvm.NANO.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (*cvm.NANO.sat_hw, 3), dtype=np.uint8)
+    a, b = m_e.predict(grd, sat), m_p.predict(grd, sat)
+    assert (a.row, a.col) == (b.row, b.col)
+    assert abs(a.orientation_deg - b.orientation_deg) < 0.1
