@@ -95,6 +95,15 @@ class CVMModel:
                 else None))
         return poses
 
+    def save_torch(self, path: str):
+        """Write a reference-format torch checkpoint of this model's weights
+        (``io.torch_import.save_torch_checkpoint``) — train/fine-tune here,
+        evaluate or visualize with reference-ecosystem tooling."""
+        from .io.torch_import import save_torch_checkpoint
+
+        save_torch_checkpoint(path, jax.device_get(self.params),
+                              jax.device_get(self.bn_state))
+
     def predict(self, grd: np.ndarray, sat: np.ndarray, *,
                 ori_noise: float = 180.0,
                 return_heatmap: bool = False) -> Pose:

@@ -110,14 +110,116 @@ def _double_conv(sd, prefix):
             "conv_b": _conv(sd, prefix + ".2")}
 
 
-def _sat_linear(sd, prefix, chunk_c: int = 1280, chunk_hw: int = 2):
-    """Linear(1280*2*2 -> D) with input-axis reorder from torch (C,H,W)
-    flatten order to NHWC (H,W,C) flatten order."""
+def _sat_linear(sd, prefix, chunk_hw: int = 2):
+    """Linear(C*2*2 -> D) with input-axis reorder from torch (C,H,W)
+    flatten order to NHWC (H,W,C) flatten order (C = 1280 for B0)."""
     w = _np(sd[prefix + ".weight"])  # [D, C*H*W] in (c, h, w) column order
     d = w.shape[0]
+    chunk_c = w.shape[1] // (chunk_hw * chunk_hw)
     w = w.reshape(d, chunk_c, chunk_hw, chunk_hw)
     w = w.transpose(2, 3, 1, 0).reshape(chunk_c * chunk_hw * chunk_hw, d)
     return {"w": jnp.asarray(w), "b": _vec(sd[prefix + ".bias"])}
+
+
+def _conv_w_back(w):
+    return np.asarray(w).transpose(3, 2, 0, 1)
+
+
+def _deconv_w_back(w):
+    return np.asarray(w).transpose(0, 3, 1, 2)
+
+
+def _bn_back(out, prefix, bn_params, bn_state):
+    out[prefix + ".weight"] = np.asarray(bn_params["scale"])
+    out[prefix + ".bias"] = np.asarray(bn_params["bias"])
+    out[prefix + ".running_mean"] = np.asarray(bn_state["mean"])
+    out[prefix + ".running_var"] = np.asarray(bn_state["var"])
+    out[prefix + ".num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def export_b0(params, state, prefix: str = "",
+              num_classes: int = 1000) -> dict:
+    """Inverse of ``import_b0``: NHWC param tree -> torch-layout state_dict
+    entries.  The classifier head ``_fc.*`` (never used by CCVPE) is emitted
+    as zeros so ``load_state_dict(strict=True)`` finds every key."""
+    p = prefix
+    out = {p + "_conv_stem.weight": _conv_w_back(params["conv_stem"]["w"])}
+    _bn_back(out, p + "_bn0", params["bn0"], state["bn0"])
+    for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
+        k = f"{p}_blocks.{i}."
+        if "expand_conv" in bp:
+            out[k + "_expand_conv.weight"] = _conv_w_back(
+                bp["expand_conv"]["w"])
+            _bn_back(out, k + "_bn0", bp["bn0"], bs["bn0"])
+        out[k + "_depthwise_conv.weight"] = _conv_w_back(
+            bp["depthwise_conv"]["w"])
+        _bn_back(out, k + "_bn1", bp["bn1"], bs["bn1"])
+        out[k + "_se_reduce.weight"] = _conv_w_back(bp["se_reduce"]["w"])
+        out[k + "_se_reduce.bias"] = np.asarray(bp["se_reduce"]["b"])
+        out[k + "_se_expand.weight"] = _conv_w_back(bp["se_expand"]["w"])
+        out[k + "_se_expand.bias"] = np.asarray(bp["se_expand"]["b"])
+        out[k + "_project_conv.weight"] = _conv_w_back(bp["project_conv"]["w"])
+        _bn_back(out, k + "_bn2", bp["bn2"], bs["bn2"])
+    out[p + "_conv_head.weight"] = _conv_w_back(params["conv_head"]["w"])
+    _bn_back(out, p + "_bn1", params["bn1"], state["bn1"])
+    feat = np.asarray(params["conv_head"]["w"]).shape[-1]
+    out[p + "_fc.weight"] = np.zeros((num_classes, feat), np.float32)
+    out[p + "_fc.bias"] = np.zeros((num_classes,), np.float32)
+    return out
+
+
+def _conv_back(out, prefix, p):
+    out[prefix + ".weight"] = _conv_w_back(p["w"])
+    if "b" in p:
+        out[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def _sat_linear_back(p, chunk_hw: int = 2):
+    w = np.asarray(p["w"])  # [(h,w,c) flat, D]
+    d = w.shape[1]
+    chunk_c = w.shape[0] // (chunk_hw * chunk_hw)
+    w = w.reshape(chunk_hw, chunk_hw, chunk_c, d)
+    w = w.transpose(3, 2, 0, 1).reshape(d, chunk_c * chunk_hw * chunk_hw)
+    return w, np.asarray(p["b"])
+
+
+def export_cvm(params, state) -> dict:
+    """Inverse of ``import_cvm``: this framework's (params, bn_state) -> a
+    reference-compatible torch state_dict mapping (name -> np.ndarray;
+    loadable with ``model.load_state_dict(.., strict=True)`` after tensor
+    conversion, or saved via ``save_torch_checkpoint``).  Enables training
+    here and evaluating/visualizing with reference-ecosystem tooling."""
+    out = {}
+    out.update(export_b0(params["grd_efficientnet"],
+                         state["grd_efficientnet"], "grd_efficientnet."))
+    out.update(export_b0(params["sat_efficientnet"],
+                         state["sat_efficientnet"], "sat_efficientnet."))
+    for k in range(1, 7):
+        name = f"grd_feature_to_descriptor{k}"
+        _conv_back(out, f"{name}.0", params[name]["conv_c"])
+        _conv_back(out, f"{name}.2", params[name]["conv_h"])
+    w, b = _sat_linear_back(params["sat_feature_to_descriptors"])
+    out["sat_feature_to_descriptors.1.weight"] = w
+    out["sat_feature_to_descriptors.1.bias"] = b
+    for k in range(1, 7):
+        for suffix in ("", "_ori"):
+            dp = params[f"deconv{k}{suffix}"]
+            out[f"deconv{k}{suffix}.weight"] = _deconv_w_back(dp["w"])
+            out[f"deconv{k}{suffix}.bias"] = np.asarray(dp["b"])
+            cp = params[f"conv{k}{suffix}"]
+            _conv_back(out, f"conv{k}{suffix}.0", cp["conv_a"])
+            _conv_back(out, f"conv{k}{suffix}.2", cp["conv_b"])
+    return out
+
+
+def save_torch_checkpoint(path: str, params, state):
+    """Write a reference-format ``model.pt`` (torch.save of the exported
+    state_dict; mirrors the reference's ``train_VIGOR.py:159-163`` output)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_cvm(params, state).items()}
+    torch.save(sd, path)
 
 
 def import_cvm(sd):

@@ -110,3 +110,20 @@ def test_api_matching_impl_plumbing():
     a, b = m_e.predict(grd, sat), m_p.predict(grd, sat)
     assert (a.row, a.col) == (b.row, b.col)
     assert abs(a.orientation_deg - b.orientation_deg) < 0.1
+
+
+def test_save_torch_load_model_roundtrip(tmp_path):
+    """api.save_torch writes a reference-format .pt that load_model reads
+    back to identical params and BN state (any preset width)."""
+    import jax
+    import numpy as np
+    from ccvpe_tpu import api
+    from ccvpe_tpu.models import cvm
+
+    m = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(0), cvm.NANO))
+    path = str(tmp_path / "exported.pt")
+    m.save_torch(path)
+    m2 = api.load_model(path, preset="NANO")
+    for a, b in zip(jax.tree_util.tree_leaves((m.params, m.bn_state)),
+                    jax.tree_util.tree_leaves((m2.params, m2.bn_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -93,3 +93,34 @@ def test_pretrained_b0_init(torch_oracle, tmp_path):
     np_.testing.assert_array_equal(
         np_.asarray(state.params["deconv6"]["w"]),
         np_.asarray(ref.params["deconv6"]["w"]))
+
+
+def test_torch_export_roundtrip(torch_oracle, monkeypatch):
+    """export_cvm is the exact inverse of import_cvm: reference state_dict ->
+    import -> export reproduces every tensor bit-for-bit (the unused _fc
+    head is zero-filled), and the result strict-loads into the reference
+    model."""
+    torch = torch_oracle
+    import efficientnet_pytorch.model as enm
+
+    monkeypatch.setattr(
+        enm.EfficientNet, "from_pretrained",
+        classmethod(lambda cls, name, circular, **kw: cls.from_name(
+            name, circular)))
+    import models as reference_models
+
+    from ccvpe_tpu.io.torch_import import export_cvm, import_cvm
+
+    tmodel = reference_models.CVM_VIGOR("cpu", circular_padding=True)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    exported = export_cvm(*import_cvm(sd))
+
+    assert set(exported) == set(sd)
+    for k, v in sd.items():
+        if "._fc." in k or k.startswith("_fc."):
+            continue
+        np.testing.assert_array_equal(exported[k], v, err_msg=k)
+
+    tmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in exported.items()}, strict=True)
