@@ -127,3 +127,24 @@ def test_save_torch_load_model_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves((m.params, m.bn_state)),
                     jax.tree_util.tree_leaves((m2.params, m2.bn_state))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_multiplatform(tmp_path):
+    """platforms=("cpu","tpu") lowers one artifact for both backends; it
+    deserializes and runs on the CPU test host."""
+    import jax
+    import numpy as np
+    from ccvpe_tpu import api
+    from ccvpe_tpu.models import cvm
+
+    m = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(0), cvm.NANO))
+    path = str(tmp_path / "export_multi")
+    api.export_model(m, path, batch=1, platforms=("cpu", "tpu"))
+    served = api.load_exported(path)
+    rng = np.random.default_rng(0)
+    grd = rng.integers(0, 255, (1, *cvm.NANO.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (1, *cvm.NANO.sat_hw, 3), dtype=np.uint8)
+    direct = m.predict_batch(grd, sat)
+    got = served.predict_batch(grd, sat)
+    assert (got[0].row, got[0].col) == (direct[0].row, direct[0].col)
+    assert np.isfinite(got[0].probability)

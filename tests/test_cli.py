@@ -266,3 +266,23 @@ def test_checkpoint_every_steps(synthetic_vigor, tmp_path):
     # mid-epoch step checkpoint (step 2) plus the per-epoch one (epoch 0...
     # note epoch ids and step ids share the directory namespace; latest wins)
     assert mngr.latest_step() is not None
+
+
+def test_train_vigor_cli_perf_flags_smoke(synthetic_vigor, tmp_path):
+    """All perf levers combined: bf16 compute + bf16-resident params +
+    block remat, end to end through the CLI."""
+    import train_VIGOR
+
+    train_VIGOR.main([
+        "--dataset_root", synthetic_vigor,
+        "--model_preset", "NANO",
+        "--epochs", "1",
+        "--steps_per_epoch", "2",
+        "-b", "4",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--results_dir", str(tmp_path / "results"),
+        "--num_workers", "2",
+        "--bf16", "--bf16_params", "--remat",
+    ])
+    files = os.listdir(tmp_path / "results")
+    assert any("summary.json" in f for f in files)
