@@ -148,3 +148,37 @@ def test_export_multiplatform(tmp_path):
     got = served.predict_batch(grd, sat)
     assert (got[0].row, got[0].col) == (direct[0].row, direct[0].col)
     assert np.isfinite(got[0].probability)
+
+
+def test_bf16_trained_state_serves(tmp_path):
+    """A --bf16_params training state (bf16 leaves + MasterState opt_state)
+    loads through api.load_model and exports via save_torch (regression:
+    both previously assumed f32/plain-adam trees)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ccvpe_tpu import api
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.train import loop as train_loop
+
+    opt = train_loop.make_optimizer(f32_master=True)
+    state = train_loop.create_train_state(
+        cvm.NANO, jax.random.PRNGKey(0), opt, param_dtype=jnp.bfloat16)
+    ckpt_dir = str(tmp_path / "ckpt")
+    mngr = CheckpointManager(ckpt_dir)
+    mngr.save(0, jax.device_get(state), wait=True)
+    mngr.close()
+
+    m = api.load_model(ckpt_dir, preset="NANO")
+    for a, b in zip(jax.tree_util.tree_leaves(m.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    pt = str(tmp_path / "exported.pt")
+    m.save_torch(pt)  # must not choke on bfloat16 leaves
+    m2 = api.load_model(pt, preset="NANO")
+    for a, b in zip(jax.tree_util.tree_leaves(m.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32))
