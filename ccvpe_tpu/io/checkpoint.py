@@ -33,6 +33,11 @@ class CheckpointManager:
     def latest_step(self):
         return self._mngr.latest_step()
 
+    def all_steps(self):
+        """Retained checkpoint steps, ascending (bounded by max_to_keep)."""
+        self._mngr.wait_until_finished()
+        return sorted(self._mngr.all_steps())
+
     def restore(self, template: Any, step: int | None = None):
         """Restore into the structure of ``template`` (e.g. a freshly created
         TrainState); returns the restored pytree."""

@@ -263,9 +263,9 @@ def test_checkpoint_every_steps(synthetic_vigor, tmp_path):
     from ccvpe_tpu.io.checkpoint import CheckpointManager
 
     mngr = CheckpointManager(str(tmp_path / "ckpt"))
-    # mid-epoch step checkpoint (step 2) plus the per-epoch one (epoch 0...
-    # note epoch ids and step ids share the directory namespace; latest wins)
-    assert mngr.latest_step() is not None
+    # 3 steps with checkpoint_every_steps=2: mid-epoch save at global step 2
+    # plus the end-of-epoch save at step 3
+    assert mngr.all_steps() == [2, 3]
 
 
 def test_train_vigor_cli_perf_flags_smoke(synthetic_vigor, tmp_path):

@@ -127,6 +127,51 @@ def test_training_learns_overfit(tiny_setup):
     assert losses[-1] < losses[0]
 
 
+def test_trainer_checkpoint_cadence_and_resume(tiny_setup, tmp_path):
+    """The global step advances every batch; mid-epoch saves fire every
+    ``checkpoint_every_steps``; per-epoch saves are keyed by the true global
+    step (one distinct checkpoint per epoch, exceeding the reference's
+    ``torch.save`` cadence, ``train_VIGOR.py:159-163``); and a fresh Trainer
+    resumes from the latest step with the step counter intact."""
+    from ccvpe_tpu.train.harness import Trainer
+
+    cfg, _, _, batch = tiny_setup
+    raw = jax.device_get(batch)
+    loader = [raw] * 3          # 3 steps per "epoch"
+    ident = lambda r: r
+    ckdir = str(tmp_path / "ckpt")
+
+    tr = Trainer(cfg, checkpoint_dir=ckdir,
+                 results_dir=str(tmp_path / "results"), batch_size=8,
+                 checkpoint_every_steps=2, log_every=2)
+    tr.init_state(seed=5)
+    tr.train_epoch(loader, ident, epoch=0)
+    # steps 1-3: mid-epoch save at 2, end-of-epoch save at 3
+    assert tr.ckpt.all_steps() == [2, 3]
+    tr.train_epoch(loader, ident, epoch=1)
+    # steps 4-6: mid-epoch at 4 and 6; end-of-epoch skipped (6 just saved);
+    # max_to_keep=3 prunes step 2
+    assert tr.ckpt.all_steps() == [3, 4, 6]
+    assert int(jax.device_get(tr.state.step)) == 6
+    assert tr._global_step == 6
+    tr.ckpt.close()
+
+    tr2 = Trainer(cfg, checkpoint_dir=ckdir,
+                  results_dir=str(tmp_path / "results"), batch_size=8,
+                  checkpoint_every_steps=0, log_every=2)
+    assert tr2.resume()
+    assert tr2._global_step == 6
+    assert int(jax.device_get(tr2.state.step)) == 6
+    # optimizer moments came back too (non-zero after 6 Adam steps)
+    mom = jax.tree_util.tree_leaves(tr2.state.opt_state)
+    assert any(float(jnp.abs(m).max()) > 0 for m in mom
+               if hasattr(m, "dtype") and m.dtype == jnp.float32)
+    tr2.train_epoch(loader, ident, epoch=2)
+    assert int(jax.device_get(tr2.state.step)) == 9
+    assert tr2.ckpt.all_steps()[-1] == 9
+    tr2.ckpt.close()
+
+
 def test_bf16_param_residency(tiny_setup):
     """bf16-resident params with an f32 master: the master stays float32,
     the resident params track cast(master) after every step, and the loss
