@@ -144,6 +144,11 @@ class OxfordSampler:
             # i.e. the VIGOR convention with row = -row_offset_resized
             "row_offset": np.float32(-ro),
             "col_offset": np.float32(co),
+            # per-frame heading the reference eval consumes for the
+            # lateral/longitudinal decomposition
+            # (``orientation_angle``, ``datasets.py:334-337``,
+            # ``train_OxfordRobotCar.py:211,228``)
+            "orientation_from_north": np.float32(angle),
         }
 
 

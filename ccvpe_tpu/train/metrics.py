@@ -171,6 +171,10 @@ class PoseErrorAccumulator:
                            ("longitudinal", self.longitudinal_m)):
             if vals:
                 arr = np.asarray(vals)
+                # reference prints per-axis mean/median too
+                # (``train_OxfordRobotCar.py:252-255``)
+                out[f"mean_{name}_m"] = float(np.mean(arr))
+                out[f"median_{name}_m"] = float(np.median(arr))
                 for t in (1, 3, 5):
                     out[f"{name}_recall@{t}m"] = float(np.mean(arr < t))
         return out

@@ -201,6 +201,14 @@ def test_train_and_eval_oxford_cli_smoke(synthetic_oxford, tmp_path):
         "--num_workers", "2",
     ])
     assert set(results) == {"test1", "test2", "test3"}
+    # Oxford eval runs with per-frame headings: the full reference metric
+    # contract (per-axis mean/median + recalls,
+    # reference train_OxfordRobotCar.py:250-266) is present
+    for t in results.values():
+        for key in ("mean_longitudinal_m", "median_longitudinal_m",
+                    "mean_lateral_m", "median_lateral_m",
+                    "longitudinal_recall@1m", "lateral_recall@5m"):
+            assert key in t, key
 
 
 def test_train_kitti_device_augment_cli(synthetic_kitti, tmp_path):

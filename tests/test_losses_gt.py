@@ -185,6 +185,37 @@ class TestMetrics:
         assert abs(s["mean_orientation_deg"] - 90.0) < 1e-6
         assert "lateral_recall@5m" in s
 
+    def test_lateral_longitudinal_decomposition_hand_case(self):
+        """Pins the reference decomposition math
+        (``train_OxfordRobotCar.py:228-244``): gt at (5,7), pred at (2,3)
+        is a 3-4-5 triangle; with heading 0 from north, gt2pred =
+        atan2(4,3) = 53.13 deg, so longitudinal = |cos|*5px = 3px and
+        lateral = |sin|*5px = 4px, times 2 m/px."""
+        from ccvpe_tpu.train.metrics import PoseErrorAccumulator
+        acc = PoseErrorAccumulator()
+        hm = np.zeros((1, 8, 8, 1), np.float32)
+        hm[0, 2, 3, 0] = 1.0
+        gt = np.zeros((1, 8, 8, 1), np.float32)
+        gt[0, 5, 7, 0] = 1.0
+        ori = np.zeros((1, 8, 8, 2), np.float32)
+        ori[..., 0] = 1.0
+        acc.update(hm, gt, ori, ori, meter_per_pixel=2.0,
+                   orientation_from_north=np.asarray([0.0]))
+        s = acc.summary()
+        assert abs(s["mean_longitudinal_m"] - 6.0) < 1e-6
+        assert abs(s["median_longitudinal_m"] - 6.0) < 1e-6
+        assert abs(s["mean_lateral_m"] - 8.0) < 1e-6
+        assert abs(s["median_lateral_m"] - 8.0) < 1e-6
+        # a second sample, heading 53.13 deg (aligned with gt->pred):
+        # purely longitudinal
+        acc2 = PoseErrorAccumulator()
+        heading = np.degrees(np.arctan2(4, 3))
+        acc2.update(hm, gt, ori, ori, meter_per_pixel=2.0,
+                    orientation_from_north=np.asarray([heading]))
+        s2 = acc2.summary()
+        assert abs(s2["mean_longitudinal_m"] - 10.0) < 1e-5
+        assert abs(s2["mean_lateral_m"] - 0.0) < 1e-5
+
 
 class TestDeviceReadout:
     def test_readout_matches_host_accumulator(self):

@@ -135,17 +135,41 @@ def main(argv=None):
                                      args.num_workers)
             summary = trainer.evaluate(loader, dev_eval,
                                        meter_per_pixel=OXFORD_METER_PER_PIXEL,
-                                       with_heading=False)
+                                       with_heading=True)
             results[f"test{t}"] = summary
+            # the reference's full per-traversal metric contract
+            # (``/root/reference/train_OxfordRobotCar.py:250-266``): mean/
+            # median localization, per-axis mean/median + <1/3/5 m recalls,
+            # orientation mean/median + <1/3/5 deg recalls
             print("---------------------------------------")
             print(f"Test traversal {t}")
-            print("mean localization error (m): ", summary["mean_distance_m"])
-            print("median localization error (m): ",
-                  summary["median_distance_m"])
-            print("mean orientation error (degrees): ",
+            print("mean error (m): ", summary["mean_distance_m"])
+            print("median error (m): ", summary["median_distance_m"])
+            print("mean longitudinal error (m): ",
+                  summary["mean_longitudinal_m"])
+            print("median longitudinal error (m): ",
+                  summary["median_longitudinal_m"])
+            print("mean lateral error (m): ", summary["mean_lateral_m"])
+            print("median lateral error (m): ", summary["median_lateral_m"])
+            print("mean orientation error (deg): ",
                   summary.get("mean_orientation_deg"))
-            print("median orientation error (degrees): ",
+            print("median orientation error (deg): ",
                   summary.get("median_orientation_deg"))
+            print("percentage of samples with longitudinal localization "
+                  "error under 1m, 3m, and 5m: ",
+                  summary["longitudinal_recall@1m"],
+                  summary["longitudinal_recall@3m"],
+                  summary["longitudinal_recall@5m"])
+            print("percentage of samples with lateral localization error "
+                  "under 1m, 3m, and 5m: ",
+                  summary["lateral_recall@1m"],
+                  summary["lateral_recall@3m"],
+                  summary["lateral_recall@5m"])
+            print("percentage of samples with orientation error under "
+                  "1 degree, 3 degrees, and 5 degrees: ",
+                  summary.get("orientation_recall@1deg"),
+                  summary.get("orientation_recall@3deg"),
+                  summary.get("orientation_recall@5deg"))
             print("throughput (pairs/s): ", summary["pairs_per_sec"])
         return results
 
