@@ -94,6 +94,150 @@ class TestVigor:
             assert float(s["row_offset"]) == want_r
 
 
+class TestVigorOracle:
+    def test_sampler_against_reference_dataset(self, torch_oracle,
+                                               vigor_root):
+        """Drive the reference VIGORDataset on the same synthetic root and
+        require identical rolled-panorama pixels (roll direction,
+        ``datasets.py:108-118``), GT placement, CCW ``gt_with_ori[20-index]``
+        bin indexing (``datasets.py:153-163``), and city tags."""
+        torch = torch_oracle
+        import sys
+        from unittest.mock import MagicMock
+
+        # datasets.py imports torchvision TF at module scope; VIGOR never
+        # calls it, so a stub suffices (the KITTI oracle installs a real shim)
+        sys.modules.setdefault("torchvision.transforms.functional",
+                               MagicMock())
+        import datasets as ref_datasets
+
+        import jax.numpy as jnp
+        from ccvpe_tpu.data import transforms
+        from ccvpe_tpu.ops.gt import gaussian_heatmap, gt_with_orientation
+
+        to_chw = lambda img: torch.from_numpy(
+            np.array(img, np.uint8)).permute(2, 0, 1)
+        n = 16
+        # cover both gt_with_ori branches: index==0 (angle<18), the generic
+        # 20-index case, and the near-wrap (>342 deg)
+        frozen = np.concatenate([[5.0, 350.0, 17.9, 342.1],
+                                 np.linspace(20, 330, n - 4)])
+        ref = ref_datasets.VIGORDataset(
+            root=vigor_root, split="samearea", train=True,
+            transform=(to_chw, to_chw), pos_only=True,
+            random_orientation=frozen)
+        assert len(ref) == n
+
+        index = vigor.VigorIndex.load(vigor_root, "samearea", train=True)
+        sampler = vigor.VigorSampler(index, pos_only=True,
+                                     random_orientation=frozen,
+                                     grd_hw=(32, 64), sat_hw=(64, 64))
+        for i in range(n):
+            grd_ref, sat_ref, gt_ref, gwo_ref, omap_ref, city_ref, ang_ref = \
+                ref[i]
+            s = sampler(i)
+            assert s["city"] == city_ref
+            assert abs(float(s["angle"]) - float(ang_ref)) < 1e-4  # f32 angle
+
+            # panorama roll through the production device function
+            rolled = np.asarray(transforms.roll_panorama(
+                jnp.asarray(s["grd"][None], jnp.float32),
+                jnp.asarray([s["rotation"]])))[0]
+            np.testing.assert_array_equal(
+                rolled.astype(np.uint8),
+                grd_ref.numpy().transpose(1, 2, 0))
+            np.testing.assert_array_equal(s["sat"],
+                                          sat_ref.numpy().transpose(1, 2, 0))
+
+            mine_gt = np.asarray(gaussian_heatmap(
+                64, 64, float(s["row_offset"]), float(s["col_offset"])))
+            np.testing.assert_allclose(mine_gt, gt_ref.numpy()[0], atol=1e-6)
+            mine_gwo = np.asarray(gt_with_orientation(
+                64, 64, float(s["row_offset"]), float(s["col_offset"]),
+                float(s["angle"]), 20, clockwise=False))
+            np.testing.assert_allclose(mine_gwo.transpose(2, 0, 1),
+                                       gwo_ref.numpy(), atol=1e-6)
+            # dense (cos, sin) field constants
+            np.testing.assert_allclose(
+                [float(omap_ref[0, 0, 0]), float(omap_ref[1, 0, 0])],
+                [np.cos(np.radians(float(s["angle"]))),
+                 np.sin(np.radians(float(s["angle"])))], atol=1e-6)
+
+
+class TestOxfordOracle:
+    def test_sampler_against_reference_dataset(self, torch_oracle, tmp_path):
+        """Drive the reference OxfordRobotCarDataset (eval split) on a
+        synthetic stitched map: identical crop pixels, GT placement
+        (row/col signs, ``datasets.py:326-331``), CW ``gt_with_ori[index]``
+        bin indexing (``datasets.py:339-348``), and yaw conversion
+        (``datasets.py:334-337``)."""
+        torch = torch_oracle
+        import sys
+        from unittest.mock import MagicMock
+
+        sys.modules.setdefault("torchvision.transforms.functional",
+                               MagicMock())
+        import datasets as ref_datasets
+
+        from ccvpe_tpu.ops.gt import gaussian_heatmap, gt_with_orientation
+
+        root = str(tmp_path) + "/"
+        _write_img(root + "map.png", (2048, 2048), 5)
+        # UTM chosen to land well inside the 2048px synthetic map
+        # (control point (619400, 5736195) -> pixel (900, 900))
+        coords = [(619420.0, 5736160.0), (619435.0, 5736185.0),
+                  (619410.0, 5736150.0)]
+        for t, (e, nn) in enumerate(coords, 1):
+            with open(root + f"test{t}_j.txt", "w") as f:
+                f.write(f"f{t}.png 0 {e} {nn}\n")
+        # yaws covering CW bin branches incl. index==19 wrap
+        np.save(root + "test_yaw.npy", np.asarray([0.3, 1.6 + np.pi, 6.2]))
+        for t in range(1, 4):
+            _write_img(root + f"f{t}.png", (160, 240), t)
+
+        to_chw = lambda img: torch.from_numpy(np.array(
+            img.resize((512, 512), Image.BILINEAR)
+            if img.size != (512, 512) else np.array(img),
+            np.uint8)).permute(2, 0, 1)
+        grd_tf = lambda img: torch.from_numpy(np.array(
+            img.resize((231, 154), Image.BILINEAR), np.uint8)).permute(
+                2, 0, 1)
+        ref = ref_datasets.OxfordRobotCarDataset(
+            grd_image_root=root, sat_path=root + "map.png", split="test",
+            transform=(grd_tf, to_chw))
+
+        idx = oxford.OxfordIndex.load(root, root + "map.png", "test")
+        sampler = oxford.OxfordSampler(idx)
+        for i in range(3):
+            grd_ref, sat_ref, gt_ref, gwo_ref, omap_ref, ang_ref = ref[i]
+            s = sampler(i)
+            assert abs(float(s["orientation_from_north"])
+                       - float(ang_ref)) < 1e-4
+            np.testing.assert_array_equal(s["grd"],
+                                          grd_ref.numpy().transpose(1, 2, 0))
+            np.testing.assert_array_equal(s["sat"],
+                                          sat_ref.numpy().transpose(1, 2, 0))
+            mine_gt = np.asarray(gaussian_heatmap(
+                512, 512, float(s["row_offset"]), float(s["col_offset"])))
+            np.testing.assert_allclose(mine_gt, gt_ref.numpy()[0], atol=5e-6)
+            mine_gwo = np.asarray(gt_with_orientation(
+                512, 512, float(s["row_offset"]), float(s["col_offset"]),
+                float(s["angle"]), 20, clockwise=True))
+            np.testing.assert_allclose(mine_gwo.transpose(2, 0, 1),
+                                       gwo_ref.numpy(), atol=1e-5)
+
+
+def test_shipped_orientation_fixtures():
+    """SURVEY.md §2 T8: the exact release fixtures ship in fixtures/."""
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    same = np.load(os.path.join(base, "samearea_orientation_test.npy"))
+    cross = np.load(os.path.join(base, "crossarea_orientation_test.npy"))
+    assert same.shape == (52605,) and cross.shape == (53694,)
+    for arr in (same, cross):
+        assert arr.min() >= 0.0 and arr.max() < 360.0
+
+
 class TestPipeline:
     def test_loader_preserves_order_and_errors(self):
         def sample(i):

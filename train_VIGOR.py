@@ -44,8 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--test_model_path", type=str,
                    default="models/VIGOR/samearea/model.pt",
                    help="torch or orbax checkpoint to evaluate")
-    p.add_argument("--orientation_dir", type=str, default=".",
-                   help="directory holding *_orientation_test.npy fixtures")
+    p.add_argument("--orientation_dir", type=str, default="",
+                   help="directory holding *_orientation_test.npy fixtures "
+                        "(default: the repo's fixtures/, which ships the "
+                        "reference release files; falls back to cwd)")
     p.add_argument("--cache_dir", type=str, default="",
                    help="build/use preprocessed uint8 array caches "
                         "(decode-free input streaming)")
@@ -161,14 +163,18 @@ def main(argv=None):
     else:
         random_orientation = None
         if ori_noise == 180:  # reference train_VIGOR.py:73-79
-            fname = os.path.join(args.orientation_dir,
-                                 f"{args.area}_orientation_test.npy")
-            if not os.path.exists(fname):
+            base = f"{args.area}_orientation_test.npy"
+            # the exact release fixtures ship in fixtures/ (SURVEY.md §2 T8)
+            shipped = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "fixtures", base)
+            candidates = ([os.path.join(args.orientation_dir, base)]
+                          if args.orientation_dir else [shipped, base])
+            fname = next((c for c in candidates if os.path.exists(c)), None)
+            if fname is None:
                 raise SystemExit(
-                    f"frozen orientation fixture {fname} not found; these "
-                    "ship with the reference CCVPE release — point "
-                    "--orientation_dir at them (or pass --ori_noise < 180 "
-                    "for a known-orientation prior)")
+                    f"frozen orientation fixture {base} not found in "
+                    f"{candidates}; pass --orientation_dir (or --ori_noise "
+                    "< 180 for a known-orientation prior)")
             random_orientation = np.load(fname)
         index = vigor.VigorIndex.load(args.dataset_root, args.area, False)
         sampler = vigor.VigorSampler(index, pos_only=pos_only,
