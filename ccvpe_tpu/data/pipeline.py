@@ -38,11 +38,26 @@ class Loader:
       num_workers: decode threads.
       prefetch: max batches resident in the queue.
       drop_last: drop the trailing partial batch (keeps shapes static for jit).
+      multihost: under multi-process JAX, load only this host's strided slice
+        of the order at ``batch_size / process_count`` per host; the global
+        batch is reassembled on device by ``parallel.mesh.shard_batch``
+        (``jax.make_array_from_process_local_data``). No-op single-host.
     """
 
     def __init__(self, sample_fn, indices, batch_size: int,
                  num_workers: int = 8, prefetch: int = 4,
-                 drop_last: bool = True):
+                 drop_last: bool = True, multihost: bool = False):
+        if multihost:
+            import jax
+
+            pc = jax.process_count()
+            if pc > 1:
+                if batch_size % pc:
+                    raise ValueError(
+                        f"global batch {batch_size} must divide across "
+                        f"{pc} processes")
+                indices = shard_for_process(indices)
+                batch_size //= pc
         self.sample_fn = sample_fn
         self.indices = np.asarray(indices)
         self.batch_size = batch_size

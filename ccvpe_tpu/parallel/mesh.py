@@ -42,13 +42,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def data_sharded(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis over ALL mesh devices.
+
+    The batch is split over the model axis too (FSDP-style: model-axis
+    devices hold weight shards but still process distinct batch slices).
+    This is deliberate, not just a throughput choice: with the batch
+    *replicated* along the model axis, GSPMD mis-reduces the gradient of
+    grouped (depthwise) convolutions — the weight grad psums over the whole
+    mesh and comes out exactly n_model times too large (measured on the
+    EfficientNet depthwise kernels; regular convs are unaffected).  Sharding
+    the batch over both axes leaves no partially-replicated activations, so
+    every collective GSPMD inserts is semantically forced.  The global batch
+    must divide the total device count."""
+    return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch onto the mesh, sharded along axis 0."""
+    """Place a host batch onto the mesh, sharded along axis 0.
+
+    Multi-host: each process passes its local slice of the global batch
+    (see ``data.pipeline.shard_for_process``) and the global array is
+    assembled across processes — the standard multi-controller JAX input
+    pattern."""
     sharding = data_sharded(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

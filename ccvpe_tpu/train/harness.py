@@ -42,17 +42,24 @@ class Trainer:
                  compute_dtype: str = "float32", remat: bool = False,
                  checkpoint_every_steps: int = 0,
                  param_dtype: str = "float32",
-                 matching_impl: str = "einsum"):
+                 matching_impl: str = "einsum",
+                 n_model: int = 1):
+        """``n_model > 1`` reserves that many devices for the model axis:
+        large weights and their optimizer moments are tensor-sharded via
+        ``parallel.mesh.tree_shardings`` and GSPMD partitions the matmuls —
+        hybrid data+tensor parallelism from any CLI (``--n_model``)."""
         self.model_cfg = model_cfg
         if mesh is None:
-            # the data axis must divide the global batch
+            # the batch shards over the whole mesh (see mesh.data_sharded),
+            # so data*model must divide the global batch
             import jax as _jax
-            n = len(_jax.devices())
+            n = len(_jax.devices()) // n_model
             if batch_size:
-                while batch_size % n:
+                while batch_size % (n * n_model):
                     n -= 1
-            mesh = mesh_lib.create_mesh(n_data=n)
+            mesh = mesh_lib.create_mesh(n_data=n, n_model=n_model)
         self.mesh = mesh
+        self.n_model = dict(mesh.shape).get(mesh_lib.MODEL_AXIS, 1)
         import jax.numpy as jnp
 
         # bf16-resident params keep an f32 master in the optimizer state
@@ -68,11 +75,13 @@ class Trainer:
 
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             compute_dtype]
-        step = train_loop.make_train_step(
+        self._step_fn = train_loop.make_train_step(
             model_cfg, self.optimizer, weight_info_nce=weight_info_nce,
             weight_ori=weight_ori, remat=remat, compute_dtype=dtype,
             matching_impl=matching_impl)
-        self._train_step = train_loop.compile_train_step(step, self.mesh)
+        # compiled lazily: TP state shardings depend on the state tree
+        self._train_step = None
+        self._state_shardings = None
         self._eval_steps: dict = {}
 
         self.ckpt = (CheckpointManager(checkpoint_dir)
@@ -86,12 +95,23 @@ class Trainer:
         self._global_step = 0
 
     # -- state ------------------------------------------------------------
+    def _place_state(self, state):
+        """Place a host-side TrainState on the mesh: replicated for pure DP,
+        tensor-sharded over the model axis otherwise."""
+        if self.n_model > 1:
+            self._state_shardings = mesh_lib.tree_shardings(state, self.mesh)
+            self.state = jax.tree_util.tree_map(jax.device_put, state,
+                                                self._state_shardings)
+        else:
+            self._state_shardings = None
+            self.state = mesh_lib.replicate(self.mesh, state)
+        return self.state
+
     def init_state(self, seed: int = 17, pretrained_b0: str | None = None):
         state = train_loop.create_train_state(
             self.model_cfg, jax.random.PRNGKey(seed), self.optimizer,
             param_dtype=self.param_dtype, pretrained_b0=pretrained_b0)
-        self.state = mesh_lib.replicate(self.mesh, state)
-        return self.state
+        return self._place_state(state)
 
     def load_torch_checkpoint(self, path: str):
         from ..io.torch_import import load_state_dict
@@ -99,19 +119,24 @@ class Trainer:
         state = train_loop.train_state_from_torch(load_state_dict(path),
                                                   self.optimizer,
                                                   param_dtype=self.param_dtype)
-        self.state = mesh_lib.replicate(self.mesh, state)
-        return self.state
+        return self._place_state(state)
 
     def resume(self):
         if self.ckpt and self.ckpt.latest_step() is not None:
             if self.state is None:
                 self.init_state()
-            self.state = self.ckpt.restore(
-                jax.device_get(self.state))
-            self.state = mesh_lib.replicate(self.mesh, self.state)
+            state = self.ckpt.restore(jax.device_get(self.state))
+            self._place_state(state)
             self._global_step = int(jax.device_get(self.state.step))
             return True
         return False
+
+    def _compiled_train_step(self):
+        if self._train_step is None:
+            self._train_step = train_loop.compile_train_step(
+                self._step_fn, self.mesh,
+                state_shardings=self._state_shardings)
+        return self._train_step
 
     # -- train ------------------------------------------------------------
     def train_epoch(self, loader, device_batch_fn: Callable, epoch: int):
@@ -128,6 +153,7 @@ class Trainer:
         assert self.state is not None, "call init_state() first"
         from ..utils.profiling import StepTimer
 
+        train_step = self._compiled_train_step()
         timer = StepTimer()
         running, t0, n = None, time.time(), 0
         pairs = 0
@@ -138,7 +164,7 @@ class Trainer:
             batch = device_batch_fn(raw)
             batch = mesh_lib.shard_batch(self.mesh, batch)
             self.rng, step_rng = jax.random.split(self.rng)
-            self.state, parts = self._train_step(self.state, batch, step_rng)
+            self.state, parts = train_step(self.state, batch, step_rng)
             if self.profile_dir and not self._profiled and i == 13:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), parts)
@@ -178,7 +204,11 @@ class Trainer:
         key = tuple(loc_offsets) if loc_offsets is not None else None
         if key not in self._eval_steps:
             fn = train_loop.make_eval_step(self.model_cfg, loc_offsets)
-            self._eval_steps[key] = train_loop.compile_eval_step(fn, self.mesh)
+            sh = self._state_shardings
+            self._eval_steps[key] = train_loop.compile_eval_step(
+                fn, self.mesh,
+                params_sharding=sh.params if sh is not None else None,
+                bn_sharding=sh.bn_state if sh is not None else None)
         return self._eval_steps[key]
 
     def evaluate(self, loader, device_batch_fn: Callable, *,

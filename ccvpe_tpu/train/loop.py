@@ -152,6 +152,7 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
             return loss, (new_bn, parts)
 
         grads, (new_bn, parts) = jax.grad(loss_fn, has_aux=True)(state.params)
+        parts["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -191,8 +192,14 @@ def compile_train_step(train_step, mesh, donate: bool = True,
     )
 
 
-def compile_eval_step(eval_step, mesh):
+def compile_eval_step(eval_step, mesh, params_sharding=None,
+                      bn_sharding=None):
+    """Pass ``params_sharding``/``bn_sharding`` (pytrees of NamedShardings,
+    e.g. the TP layout from ``parallel.mesh.tree_shardings``) so eval reuses
+    the training placement instead of re-replicating sharded weights."""
     repl = mesh_lib.replicated(mesh)
     data = mesh_lib.data_sharded(mesh)
-    return jax.jit(eval_step, in_shardings=(repl, repl, data, data),
+    return jax.jit(eval_step,
+                   in_shardings=(params_sharding or repl,
+                                 bn_sharding or repl, data, data),
                    out_shardings=data)

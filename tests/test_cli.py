@@ -294,3 +294,33 @@ def test_train_vigor_cli_perf_flags_smoke(synthetic_vigor, tmp_path):
     ])
     files = os.listdir(tmp_path / "results")
     assert any("summary.json" in f for f in files)
+
+
+def test_baseline_eval_runner(synthetic_vigor, synthetic_oxford, tmp_path):
+    """One command executes the BASELINE.json configs and writes the parity
+    report (SURVEY.md §7 step 8); smoke on two configs for speed."""
+    import json
+
+    from ccvpe_tpu.eval.__main__ import main as eval_main
+
+    report = eval_main([
+        "--configs", "2,5",
+        "--vigor_root", synthetic_vigor,
+        "--oxford_root", synthetic_oxford,
+        "--model_preset", "NANO",
+        "--steps", "1",
+        "--batch_size", "2",
+        "--num_workers", "2",
+        "--results_dir", str(tmp_path / "results"),
+        "--out", str(tmp_path / "report.json"),
+    ])
+    assert report["n_ok"] == 2 and report["n_failed"] == 0
+    saved = json.loads((tmp_path / "report.json").read_text())
+    assert {r["id"] for r in saved["results"]} == {2, 5}
+    vigor_metrics = next(r for r in saved["results"]
+                         if r["id"] == 2)["metrics"]
+    assert "median_distance_m" in vigor_metrics
+    assert "pairs_per_sec" in vigor_metrics
+    oxford_metrics = next(r for r in saved["results"]
+                          if r["id"] == 5)["metrics"]
+    assert set(oxford_metrics) == {"test1", "test2", "test3"}

@@ -41,6 +41,9 @@ def parse_args(argv=None):
                    help="run the aerial alignment chain batched on device "
                         "for training (host only decodes); eval keeps the "
                         "bit-faithful host path")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="devices reserved for the model (tensor-parallel) "
+                        "mesh axis; the rest form the data axis")
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="also checkpoint mid-epoch every N steps "
                         "(preemption recovery; 0 = per-epoch only)")
@@ -85,7 +88,8 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
         param_dtype="bfloat16" if args.bf16_params else "float32",
         remat=args.remat,
-        checkpoint_every_steps=args.checkpoint_every_steps)
+        checkpoint_every_steps=args.checkpoint_every_steps,
+        n_model=args.n_model)
 
     root = args.dataset_root
     train_file = args.train_file or os.path.join(root, "train_files.txt")
@@ -140,7 +144,7 @@ def main(argv=None):
             order = limit(np.arange(len(index)))
             rng.shuffle(order)
             loader = pipeline.Loader(sampler, order, args.batch_size,
-                                     args.num_workers)
+                                     args.num_workers, multihost=True)
             pps = trainer.train_epoch(loader, dev_train, epoch)
             print(f"epoch {epoch}: {pps:.1f} train pairs/s")
             for i in range(2):

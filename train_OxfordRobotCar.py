@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--test_model_path", type=str,
                    default="models/OxfordRobotCar/model.pt")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="devices reserved for the model (tensor-parallel) "
+                        "mesh axis; the rest form the data axis")
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="also checkpoint mid-epoch every N steps "
                         "(preemption recovery; 0 = per-epoch only)")
@@ -78,7 +81,8 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
         param_dtype="bfloat16" if args.bf16_params else "float32",
         remat=args.remat,
-        checkpoint_every_steps=args.checkpoint_every_steps)
+        checkpoint_every_steps=args.checkpoint_every_steps,
+        n_model=args.n_model)
 
     dev_train = lambda raw: oxford.device_batch(
         raw, train=True, sat_hw=cfg.sat_hw, bins=cfg.bins)
@@ -106,7 +110,7 @@ def main(argv=None):
             order = limit(np.arange(len(train_index)))
             rng.shuffle(order)
             loader = pipeline.Loader(train_sampler, order, args.batch_size,
-                                     args.num_workers)
+                                     args.num_workers, multihost=True)
             pps = trainer.train_epoch(loader, dev_train, epoch)
             print(f"epoch {epoch}: {pps:.1f} train pairs/s")
             val_loader = pipeline.Loader(val_sampler,
@@ -146,25 +150,25 @@ def main(argv=None):
             print("mean error (m): ", summary["mean_distance_m"])
             print("median error (m): ", summary["median_distance_m"])
             print("mean longitudinal error (m): ",
-                  summary["mean_longitudinal_m"])
+                  summary.get("mean_longitudinal_m"))
             print("median longitudinal error (m): ",
-                  summary["median_longitudinal_m"])
-            print("mean lateral error (m): ", summary["mean_lateral_m"])
-            print("median lateral error (m): ", summary["median_lateral_m"])
+                  summary.get("median_longitudinal_m"))
+            print("mean lateral error (m): ", summary.get("mean_lateral_m"))
+            print("median lateral error (m): ", summary.get("median_lateral_m"))
             print("mean orientation error (deg): ",
                   summary.get("mean_orientation_deg"))
             print("median orientation error (deg): ",
                   summary.get("median_orientation_deg"))
             print("percentage of samples with longitudinal localization "
                   "error under 1m, 3m, and 5m: ",
-                  summary["longitudinal_recall@1m"],
-                  summary["longitudinal_recall@3m"],
-                  summary["longitudinal_recall@5m"])
+                  summary.get("longitudinal_recall@1m"),
+                  summary.get("longitudinal_recall@3m"),
+                  summary.get("longitudinal_recall@5m"))
             print("percentage of samples with lateral localization error "
                   "under 1m, 3m, and 5m: ",
-                  summary["lateral_recall@1m"],
-                  summary["lateral_recall@3m"],
-                  summary["lateral_recall@5m"])
+                  summary.get("lateral_recall@1m"),
+                  summary.get("lateral_recall@3m"),
+                  summary.get("lateral_recall@5m"))
             print("percentage of samples with orientation error under "
                   "1 degree, 3 degrees, and 5 degrees: ",
                   summary.get("orientation_recall@1deg"),

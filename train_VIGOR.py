@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--cache_dir", type=str, default="",
                    help="build/use preprocessed uint8 array caches "
                         "(decode-free input streaming)")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="devices reserved for the model (tensor-parallel) "
+                        "mesh axis; the rest form the data axis")
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="also checkpoint mid-epoch every N steps "
                         "(preemption recovery; 0 = per-epoch only)")
@@ -100,7 +103,8 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
         param_dtype="bfloat16" if args.bf16_params else "float32",
         remat=args.remat,
-        checkpoint_every_steps=args.checkpoint_every_steps)
+        checkpoint_every_steps=args.checkpoint_every_steps,
+        n_model=args.n_model)
 
     grd_hw, sat_hw = cfg.grd_hw, cfg.sat_hw
 
@@ -149,7 +153,7 @@ def main(argv=None):
             order = train_idx.copy()
             rng.shuffle(order)
             loader = pipeline.Loader(sampler, order, args.batch_size,
-                                     args.num_workers)
+                                     args.num_workers, multihost=True)
             pps = trainer.train_epoch(loader, dev_train, epoch)
             print(f"epoch {epoch}: {pps:.1f} train pairs/s")
             val_loader = pipeline.Loader(sampler, val_idx, args.batch_size,
