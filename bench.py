@@ -21,6 +21,41 @@ import os
 import sys
 import time
 
+# Dense bf16 peak FLOP/s per chip by device kind (public TPU specs; the MXU
+# runs bf16-multiply/f32-accumulate, so this is the honest MFU denominator
+# for both dtype modes).
+PEAK_FLOPS = (
+    ("v6", 918e12),       # Trillium / v6e
+    ("v5p", 459e12),
+    ("v5", 197e12),       # v5e reports device_kind "TPU v5 lite"
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+
+def peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    if device.platform != "tpu":
+        return None
+    for tag, peak in PEAK_FLOPS:
+        if tag in kind:
+            return peak
+    return None
+
+
+def compiled_flops(fn, *args) -> float | None:
+    """FLOPs of one execution from XLA's cost model of the compiled HLO."""
+    import jax
+
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
 
 def main():
     batch = int(os.environ.get("CCVPE_BENCH_BATCH", "128"))
@@ -72,13 +107,25 @@ def main():
 
     pairs_per_sec = batch * iters / dt
     baseline_fps = 14.0  # reference README.md:21
-    print(json.dumps({
+
+    # MFU accounting: XLA's own FLOP count of the compiled forward vs the
+    # chip's dense bf16 peak (VERDICT r1 item 8)
+    record = {
         "metric": f"{preset} inference throughput (batch {batch}, "
                   f"{dtype_name}, {dev.platform})",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / baseline_fps, 2),
-    }))
+    }
+    flops = compiled_flops(one_forward, params, state, grd, sat)
+    if flops is not None:
+        record["flops_per_pair"] = round(flops / batch)
+        achieved = flops * pairs_per_sec / batch
+        record["tflops_per_sec"] = round(achieved / 1e12, 2)
+        peak = peak_flops(dev)
+        if peak is not None:
+            record["mfu_pct"] = round(100 * achieved / peak, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ ori_noise) and reused — streaming per-frame estimation (the reference's
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -67,15 +68,18 @@ class CVMModel:
         self.matching_impl = matching_impl
         self._compiled: dict = {}
 
-    def _forward(self, n_bins_offsets):
-        key = n_bins_offsets
+    def _forward(self, n_bins_offsets, circular: bool | None = None):
+        circular = self.cfg.circular if circular is None else circular
+        key = (n_bins_offsets, circular)
         if key not in self._compiled:
-            offsets = (tuple(range(self.cfg.bins)) if key is None
-                       else tuple(range(-key, key + 1)))
+            offsets = (tuple(range(self.cfg.bins)) if n_bins_offsets is None
+                       else tuple(range(-n_bins_offsets, n_bins_offsets + 1)))
+            cfg = (self.cfg if circular == self.cfg.circular
+                   else dataclasses.replace(self.cfg, circular=circular))
 
             @jax.jit
             def fwd(params, state, grd, sat):
-                out, _ = cvm.forward(self.cfg, params, state, grd, sat,
+                out, _ = cvm.forward(cfg, params, state, grd, sat,
                                      train=False, loc_offsets=offsets,
                                      matching_impl=self.matching_impl)
                 idx = jnp.arange(out.heatmap.shape[0])
@@ -94,10 +98,21 @@ class CVMModel:
         return self._compiled[key]
 
     def predict_batch(self, grd: np.ndarray, sat: np.ndarray, *,
-                      ori_noise: float = 180.0,
+                      ori_noise: float = 180.0, fov: float = 360.0,
                       return_heatmap: bool = False) -> list[Pose]:
-        """grd [B,H,W,3] uint8 (already model-sized), sat [B,H,W,3] uint8."""
-        fwd = self._forward(_ori_noise_to_n(ori_noise))
+        """grd [B,H,W,3] uint8 (already model-sized), sat [B,H,W,3] uint8.
+
+        ``fov < 360`` is the limited-HFoV eval mode (BASELINE config 3,
+        reference ``train_VIGOR.py:272-273``): the panorama is cropped to the
+        leading ``fov/360`` width fraction and the ground encoder runs
+        without circular padding (its input no longer wraps)."""
+        circular = None
+        if fov < 360:
+            w = int(grd.shape[2] * fov / 360) if (
+                grd.shape[2] == self.cfg.grd_hw[1]) else grd.shape[2]
+            grd = grd[:, :, :w]
+            circular = False
+        fwd = self._forward(_ori_noise_to_n(ori_noise), circular)
         g = transforms.normalize_images(jnp.asarray(grd))
         s = transforms.normalize_images(jnp.asarray(sat))
         r = jax.device_get(fwd(self.params, self.bn_state, g, s))
@@ -113,12 +128,17 @@ class CVMModel:
                               jax.device_get(self.bn_state))
 
     def predict(self, grd: np.ndarray, sat: np.ndarray, *,
-                ori_noise: float = 180.0,
+                ori_noise: float = 180.0, fov: float = 360.0,
                 return_heatmap: bool = False) -> Pose:
-        """Single query-aerial pair; images any size (resized on host)."""
+        """Single query-aerial pair; images any size (resized on host).
+
+        ``grd`` is always the full panorama; with ``fov < 360`` it is cropped
+        to the leading ``fov/360`` width fraction after the resize, exactly
+        like the reference eval (``train_VIGOR.py:272-273``)."""
         grd = _prepare(grd, self.cfg.grd_hw)
         sat = _prepare(sat, self.cfg.sat_hw)
         return self.predict_batch(grd[None], sat[None], ori_noise=ori_noise,
+                                  fov=fov,
                                   return_heatmap=return_heatmap)[0]
 
 
@@ -234,24 +254,37 @@ def load_model(checkpoint_path: str | None = None, preset: str = "VIGOR",
         from .train import loop as train_loop
 
         # checkpoints from --bf16_params runs have bf16 param leaves and a
-        # MasterState opt_state; try the plain-adam/f32 template first, then
-        # the residency variant (orbax restores into the template's tree)
-        templates = [
-            train_loop.create_train_state(
-                cfg, jax.random.PRNGKey(0), train_loop.make_optimizer()),
-            train_loop.create_train_state(
-                cfg, jax.random.PRNGKey(0),
-                train_loop.make_optimizer(f32_master=True),
-                param_dtype=jnp.bfloat16),
-        ]
+        # MasterState opt_state; inspect the saved metadata to pick the
+        # matching TrainState template (orbax restores into the template's
+        # tree, so a wrong guess raises a structure mismatch)
+        def template(bf16: bool):
+            if bf16:
+                return train_loop.create_train_state(
+                    cfg, jax.random.PRNGKey(0),
+                    train_loop.make_optimizer(f32_master=True),
+                    param_dtype=jnp.bfloat16)
+            return train_loop.create_train_state(
+                cfg, jax.random.PRNGKey(0), train_loop.make_optimizer())
+
+        mgr = CheckpointManager(checkpoint_path)
+        order = [False, True]
+        try:
+            leaves = jax.tree_util.tree_leaves(mgr.metadata())
+            if any(getattr(m, "dtype", None) == jnp.bfloat16 for m in leaves):
+                order = [True, False]
+        except Exception:  # noqa: BLE001 — fall back to trying both
+            pass
         state, errs = None, []
-        for template in templates:
+        for bf16 in order:
             try:
-                state = CheckpointManager(checkpoint_path).restore(template)
+                state = mgr.restore(template(bf16))
                 break
             except Exception as e:  # noqa: BLE001 — structure mismatch
                 errs.append(e)
         if state is None:
-            raise errs[0]
+            # the last error is the one from the metadata-preferred template
+            # order's final attempt; chain the first so a genuinely corrupt
+            # checkpoint surfaces its true cause, not a template mismatch
+            raise errs[-1] from (errs[0] if len(errs) > 1 else None)
         params, bn_state = state.params, state.bn_state
     return CVMModel(cfg, params, bn_state, matching_impl=matching_impl)

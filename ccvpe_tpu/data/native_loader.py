@@ -60,6 +60,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
         lib.ccvpe_load_batch.restype = None
+        lib.ccvpe_load_batch_fast.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        lib.ccvpe_load_batch_fast.restype = None
         lib.ccvpe_resize_bilinear.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
@@ -77,11 +83,20 @@ def build_error() -> str | None:
     return _build_error
 
 
-def load_batch(paths, out_hw: tuple[int, int], n_threads: int = 8):
+def load_batch(paths, out_hw: tuple[int, int], n_threads: int = 8,
+               return_sizes: bool = False, fast: bool = False):
     """Decode + resize a batch of image files concurrently in C++.
 
     Returns (batch uint8 [N, H, W, 3], statuses int32 [N]); status != 0 means
-    the file was unreadable (caller applies the blank-image fallback)."""
+    the file was unreadable (caller applies the blank-image fallback).
+    With ``return_sizes`` also returns the pre-resize raw (h, w) per image
+    as int32 [N, 2] — the VIGOR sampler rescales ground-truth offsets by the
+    raw satellite size (reference ``datasets.py:140-141``).
+
+    ``fast``: DCT-scaled JPEG decode (decode at the smallest M/8 scale that
+    covers ``out_hw``, then Pillow-bilinear down).  2-4x faster on large
+    panoramas; near- but not bit-identical to the full-decode path — for
+    training feeds, never checkpoint-parity eval."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native loader unavailable: {_build_error}")
@@ -90,6 +105,14 @@ def load_batch(paths, out_hw: tuple[int, int], n_threads: int = 8):
     out = np.empty((n, h, w, 3), np.uint8)
     statuses = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    if return_sizes or fast:
+        raw_hw = np.zeros((n, 2), np.int32)
+        lib.ccvpe_load_batch_fast(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            n_threads, statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            raw_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            1 if fast else 0)
+        return (out, statuses, raw_hw) if return_sizes else (out, statuses)
     lib.ccvpe_load_batch(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
         n_threads, statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))

@@ -42,11 +42,24 @@ class Loader:
         of the order at ``batch_size / process_count`` per host; the global
         batch is reassembled on device by ``parallel.mesh.shard_batch``
         (``jax.make_array_from_process_local_data``). No-op single-host.
+      native_batch: decode whole batches in the C++ loader
+        (``native_loader.load_batch``, one call per batch per image size —
+        no per-image Python/PIL round-trips) via the sampler's
+        ``plan``/``assemble`` protocol.  ``None`` (default) follows the
+        ``CCVPE_NATIVE_LOADER=1`` env gate; requires the sampler to expose
+        ``plan``/``assemble`` and the library to build, else falls back to
+        the per-sample thread pool.
+      fast_decode: DCT-scaled JPEG decode inside the native batch path
+        (``None`` follows ``CCVPE_FAST_DECODE=1``).  2-4x faster host decode
+        for training feeds; near- but not bit-identical to PIL, so never used
+        for checkpoint-parity eval.
     """
 
     def __init__(self, sample_fn, indices, batch_size: int,
                  num_workers: int = 8, prefetch: int = 4,
-                 drop_last: bool = True, multihost: bool = False):
+                 drop_last: bool = True, multihost: bool = False,
+                 native_batch: bool | None = None,
+                 fast_decode: bool | None = None):
         if multihost:
             import jax
 
@@ -64,6 +77,24 @@ class Loader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_last = drop_last
+        if native_batch is None:
+            import os
+
+            native_batch = os.environ.get("CCVPE_NATIVE_LOADER", "0") == "1"
+        if native_batch:
+            from . import native_loader
+
+            native_batch = (native_loader.available()
+                            and hasattr(sample_fn, "plan")
+                            and hasattr(sample_fn, "assemble"))
+        self.native_batch = bool(native_batch)
+        if fast_decode is None:
+            import os
+
+            fast_decode = os.environ.get("CCVPE_FAST_DECODE", "0") == "1"
+        # fast DCT-scaled JPEG decode: training-feed only (near- but not
+        # bit-identical to PIL full decode); requires the native batch path
+        self.fast_decode = bool(fast_decode) and self.native_batch
 
     def __len__(self):
         n = len(self.indices)
@@ -75,12 +106,36 @@ class Loader:
         for i in range(0, end, self.batch_size):
             yield self.indices[i:i + self.batch_size]
 
+    def _native_batch_samples(self, batch_idx) -> dict:
+        """Decode every image a batch needs in one C++ call per image size;
+        Python only plans (RNG + paths) and assembles (GT scalars)."""
+        from . import native_loader
+
+        plans = [self.sample_fn.plan(i) for i in batch_idx]
+        groups: dict = {}  # (h, w) -> [(plan_pos, request_key, path)]
+        for i, plan in enumerate(plans):
+            for key, (path, hw) in plan["requests"].items():
+                groups.setdefault(tuple(hw), []).append((i, key, path))
+        images: list[dict] = [{} for _ in plans]
+        for hw, items in groups.items():
+            out, statuses, raw = native_loader.load_batch(
+                [p for _, _, p in items], hw, n_threads=self.num_workers,
+                return_sizes=True, fast=self.fast_decode)
+            for (i, key, _), img, st, rhw in zip(items, out, statuses, raw):
+                images[i][key] = (img, int(st), (int(rhw[0]), int(rhw[1])))
+        return collate([self.sample_fn.assemble(p, im)
+                        for p, im in zip(plans, images)])
+
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def produce():
             try:
+                if self.native_batch:
+                    for batch_idx in self._batches():
+                        q.put(self._native_batch_samples(batch_idx))
+                    return
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for batch_idx in self._batches():
                         samples = list(pool.map(self.sample_fn, batch_idx))

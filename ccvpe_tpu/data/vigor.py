@@ -126,36 +126,77 @@ class VigorSampler:
                     break
         return pos
 
-    def __call__(self, idx: int) -> dict:
+    # Two-phase protocol (``pipeline.Loader`` batched native decode): phase 1
+    # consumes all per-sample randomness and names the images to decode;
+    # phase 2 builds the sample from images decoded elsewhere (the C++
+    # thread pool decodes a whole batch in one call, no per-image Python).
+    def plan(self, idx: int) -> dict:
+        """Cheap, serial phase: RNG draws + image requests.
+
+        RNG order per sample matches ``__call__`` (satellite pick, then
+        rotation, reference ``datasets.py:108-133``)."""
+        idx = int(idx)
+        pos = self._pick_satellite(idx)
+        rotation = self._rotation(idx)
+        sat_idx = int(self.index.labels[idx, pos])
+        requests = {}
+        if self.grd_cache is None:
+            requests["grd"] = (str(self.index.grd_paths[idx]), self.grd_hw)
+        if self.sat_cache is None:
+            requests["sat"] = (str(self.index.sat_paths[sat_idx]),
+                               self.sat_hw)
+        return {"idx": idx, "pos": pos, "sat_idx": sat_idx,
+                "rotation": rotation, "requests": requests}
+
+    def assemble(self, plan: dict, images: dict) -> dict:
+        """Build the sample from decoded images.
+
+        ``images``: request key -> (uint8 image, status, raw (h, w));
+        status != 0 applies the reference's blank-image fallback
+        (``datasets.py:100-105``)."""
+        idx, pos, sat_idx = plan["idx"], plan["pos"], plan["sat_idx"]
         if self.grd_cache is not None:
             grd = np.asarray(self.grd_cache[idx])
         else:
-            grd = transforms.load_image(self.index.grd_paths[idx],
-                                        self.grd_hw, fallback_hw=self.grd_hw)
-        pos = self._pick_satellite(idx)
-        sat_idx = int(self.index.labels[idx, pos])
+            grd, status, _ = images["grd"]
+            if status != 0:
+                grd = np.zeros((*self.grd_hw, 3), np.uint8)
         if self.sat_cache is not None:
             sat = np.asarray(self.sat_cache[sat_idx])
             width_raw, height_raw = self.sat_cache.meta["raw_sizes"][sat_idx]
         else:
-            sat_path = self.index.sat_paths[sat_idx]
-            from PIL import Image
-            with Image.open(sat_path) as im:
-                width_raw, height_raw = im.size
-            sat = transforms.load_image(sat_path, self.sat_hw)
+            sat, status, raw_hw = images["sat"]
+            if status != 0:  # unreadable satellite: keep offsets unscaled
+                sat = np.zeros((*self.sat_hw, 3), np.uint8)
+                raw_hw = self.sat_hw
+            height_raw, width_raw = raw_hw
         row_offset, col_offset = self.index.deltas[idx, pos]
         # rescale offsets to model resolution (reference ``datasets.py:140-141``)
         row_offset = np.round(row_offset / height_raw * self.sat_hw[0])
         col_offset = np.round(col_offset / width_raw * self.sat_hw[1])
-        rotation = self._rotation(idx)
         return {
             "grd": grd, "sat": sat,
-            "rotation": np.float32(rotation),
-            "angle": np.float32(rotation * 360.0),
+            "rotation": np.float32(plan["rotation"]),
+            "angle": np.float32(plan["rotation"] * 360.0),
             "row_offset": np.float32(row_offset),
             "col_offset": np.float32(col_offset),
             "city": self.index.cities[idx],
         }
+
+    def __call__(self, idx: int) -> dict:
+        plan = self.plan(idx)
+        images = {}
+        for key, (path, hw) in plan["requests"].items():
+            if key == "sat":
+                from PIL import Image
+                with Image.open(path) as im:
+                    width_raw, height_raw = im.size
+                images[key] = (transforms.load_image(path, hw), 0,
+                               (height_raw, width_raw))
+            else:
+                img = transforms.load_image(path, hw, fallback_hw=hw)
+                images[key] = (img, 0, img.shape[:2])
+        return self.assemble(plan, images)
 
 
 def device_batch(raw: dict, *, train: bool, sat_hw=SAT_HW, bins=BINS):

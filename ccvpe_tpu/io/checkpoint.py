@@ -38,6 +38,14 @@ class CheckpointManager:
         self._mngr.wait_until_finished()
         return sorted(self._mngr.all_steps())
 
+    def metadata(self, step: int | None = None):
+        """Structure/dtype metadata of a saved checkpoint (no array reads) —
+        lets callers pick the right restore template instead of guessing."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        return self._mngr.item_metadata(step)
+
     def restore(self, template: Any, step: int | None = None):
         """Restore into the structure of ``template`` (e.g. a freshly created
         TrainState); returns the restored pytree."""

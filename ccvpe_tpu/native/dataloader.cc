@@ -162,7 +162,13 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-bool decode_jpeg(FILE* f, std::vector<uint8_t>* out, int* h, int* w) {
+// target_h/target_w > 0 enables DCT-domain scaled decode: libjpeg decodes at
+// the smallest M/8 scale whose output still covers the target size, cutting
+// IDCT + colorspace work ~quadratically when downscaling (the PIL-`draft`
+// trick, but at M/8 granularity).  raw_h/raw_w always report the full
+// pre-scale image size.
+bool decode_jpeg(FILE* f, std::vector<uint8_t>* out, int* h, int* w,
+                 int target_h, int target_w, int* raw_h, int* raw_w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -174,7 +180,21 @@ bool decode_jpeg(FILE* f, std::vector<uint8_t>* out, int* h, int* w) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
+  *raw_h = cinfo.image_height;
+  *raw_w = cinfo.image_width;
   cinfo.out_color_space = JCS_RGB;
+  if (target_h > 0 && target_w > 0 &&
+      (target_h < static_cast<int>(cinfo.image_height) ||
+       target_w < static_cast<int>(cinfo.image_width))) {
+    const int num_h = (8 * target_h + cinfo.image_height - 1) /
+                      cinfo.image_height;
+    const int num_w = (8 * target_w + cinfo.image_width - 1) /
+                      cinfo.image_width;
+    int num = std::max(num_h, num_w);
+    num = std::min(std::max(num, 1), 8);
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
@@ -208,8 +228,11 @@ bool decode_png(const char* path, std::vector<uint8_t>* out, int* h, int* w) {
   return true;
 }
 
+// target_h/target_w: fast DCT-scaled JPEG decode hint (0 = exact full-size
+// decode).  raw_h/raw_w receive the full pre-scale size.
 bool decode_image(const char* path, std::vector<uint8_t>* out, int* h,
-                  int* w) {
+                  int* w, int target_h, int target_w, int* raw_h,
+                  int* raw_w) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   unsigned char magic[8] = {0};
@@ -217,11 +240,13 @@ bool decode_image(const char* path, std::vector<uint8_t>* out, int* h,
   bool ok = false;
   if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
     std::rewind(f);
-    ok = decode_jpeg(f, out, h, w);
+    ok = decode_jpeg(f, out, h, w, target_h, target_w, raw_h, raw_w);
     std::fclose(f);
   } else if (got >= 8 && magic[0] == 0x89 && magic[1] == 'P') {
     std::fclose(f);
     ok = decode_png(path, out, h, w);
+    *raw_h = *h;
+    *raw_w = *w;
   } else {
     std::fclose(f);
   }
@@ -233,26 +258,52 @@ bool decode_image(const char* path, std::vector<uint8_t>* out, int* h,
 extern "C" {
 
 // Decode + resize one image into out[out_h * out_w * 3] (RGB, NHWC order).
-// Returns 0 on success.
-int ccvpe_load_image(const char* path, uint8_t* out, int out_h, int out_w) {
+// Returns 0 on success.  raw_hw (optional): receives the pre-resize
+// (height, width) — consumers like the VIGOR sampler rescale ground-truth
+// pixel offsets by the raw satellite size (reference datasets.py:140-141).
+// fast != 0 enables DCT-scaled JPEG decode (decode at the smallest M/8 scale
+// covering out_h x out_w, then Pillow-bilinear to the target): ~2-4x faster
+// on large panoramas, not bit-identical to the full-decode PIL path — use
+// for training feeds, not checkpoint-parity eval.
+int ccvpe_load_image_fast(const char* path, uint8_t* out, int out_h,
+                          int out_w, int* raw_hw, int fast) {
   std::vector<uint8_t> raw;
-  int h = 0, w = 0;
-  if (!decode_image(path, &raw, &h, &w)) return 1;
+  int h = 0, w = 0, full_h = 0, full_w = 0;
+  if (!decode_image(path, &raw, &h, &w, fast ? out_h : 0, fast ? out_w : 0,
+                    &full_h, &full_w)) {
+    return 1;
+  }
+  if (raw_hw != nullptr) {
+    raw_hw[0] = full_h;
+    raw_hw[1] = full_w;
+  }
   resize_bilinear(raw, h, w, out, out_h, out_w);
   return 0;
 }
 
-// Batched, multi-threaded variant: out is [n, out_h, out_w, 3].
-void ccvpe_load_batch(const char** paths, int n, uint8_t* out, int out_h,
-                      int out_w, int n_threads, int* statuses) {
+int ccvpe_load_image_ex(const char* path, uint8_t* out, int out_h, int out_w,
+                        int* raw_hw) {
+  return ccvpe_load_image_fast(path, out, out_h, out_w, raw_hw, 0);
+}
+
+int ccvpe_load_image(const char* path, uint8_t* out, int out_h, int out_w) {
+  return ccvpe_load_image_fast(path, out, out_h, out_w, nullptr, 0);
+}
+
+// Batched, multi-threaded variant: out is [n, out_h, out_w, 3];
+// raw_hw (optional) is [n, 2]; fast enables DCT-scaled JPEG decode.
+void ccvpe_load_batch_fast(const char** paths, int n, uint8_t* out,
+                           int out_h, int out_w, int n_threads,
+                           int* statuses, int* raw_hw, int fast) {
   const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
   std::atomic<int> next(0);
   auto worker = [&]() {
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      statuses[i] = ccvpe_load_image(paths[i], out + stride * i, out_h,
-                                     out_w);
+      statuses[i] = ccvpe_load_image_fast(
+          paths[i], out + stride * i, out_h, out_w,
+          raw_hw == nullptr ? nullptr : raw_hw + 2 * i, fast);
     }
   };
   if (n_threads < 1) n_threads = 1;
@@ -261,6 +312,19 @@ void ccvpe_load_batch(const char** paths, int n, uint8_t* out, int out_h,
   threads.reserve(use);
   for (int t = 0; t < use; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
+}
+
+void ccvpe_load_batch_ex(const char** paths, int n, uint8_t* out, int out_h,
+                         int out_w, int n_threads, int* statuses,
+                         int* raw_hw) {
+  ccvpe_load_batch_fast(paths, n, out, out_h, out_w, n_threads, statuses,
+                        raw_hw, 0);
+}
+
+void ccvpe_load_batch(const char** paths, int n, uint8_t* out, int out_h,
+                      int out_w, int n_threads, int* statuses) {
+  ccvpe_load_batch_fast(paths, n, out, out_h, out_w, n_threads, statuses,
+                        nullptr, 0);
 }
 
 // Pillow-exact bilinear resize of a raw RGB buffer (for testing / reuse).

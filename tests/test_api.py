@@ -182,3 +182,62 @@ def test_bf16_trained_state_serves(tmp_path):
                     jax.tree_util.tree_leaves(m2.params)):
         np.testing.assert_array_equal(
             np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+def test_predict_limited_fov(model):
+    """fov<360 crops the panorama and serves through a non-circular forward
+    (BASELINE config 3 via the API; reference ``train_VIGOR.py:272-273``)."""
+    rng = np.random.default_rng(4)
+    grd = rng.integers(0, 255, (64, 128, 3), dtype=np.uint8)  # full panorama
+    sat = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    pose = model.predict(grd, sat, fov=180.0, ori_noise=18.0,
+                         return_heatmap=True)
+    assert np.isfinite(pose.probability)
+    np.testing.assert_allclose(pose.heatmap.sum(), 1.0, atol=1e-3)
+    # a fresh non-circular restricted-bin variant was compiled
+    assert (1, False) in model._compiled
+    # pre-cropped input through predict_batch gives the identical pose
+    batch = model.predict_batch(grd[None, :, :64], sat[None], fov=180.0,
+                                ori_noise=18.0)
+    assert (batch[0].row, batch[0].col) == (pose.row, pose.col)
+
+
+def test_load_model_corrupt_checkpoint_surfaces_cause(tmp_path):
+    """A corrupt orbax checkpoint raises the real restore failure with the
+    alternate-template error chained — not a swallowed structure mismatch."""
+    import glob
+    import os
+
+    import jax
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.train import loop as train_loop
+
+    opt = train_loop.make_optimizer()
+    state = train_loop.create_train_state(cvm.NANO, jax.random.PRNGKey(1),
+                                          opt)
+    ck = str(tmp_path / "ck")
+    mngr = CheckpointManager(ck)
+    mngr.save(0, jax.device_get(state), wait=True)
+    mngr.close()
+    # corrupt the array data (keep checkpoint-level metadata so the failure
+    # happens during restore, where round 1 swallowed it)
+    for f in glob.glob(os.path.join(ck, "0", "**"), recursive=True):
+        base = os.path.basename(f).lower()
+        if os.path.isfile(f) and "metadata" not in base:
+            with open(f, "wb") as fh:
+                fh.write(b"corrupt")
+    with pytest.raises(Exception) as ei:
+        api.load_model(ck, preset="NANO")
+    chain, e = [], ei.value
+    while e is not None and e not in chain:
+        chain.append(e)
+        e = e.__cause__ or e.__context__
+    # the true cause (an orbax/IO/decode failure, not a silent template
+    # structure mismatch) must be visible somewhere in the chain
+    def is_real_cause(err):
+        s = (type(err).__name__ + ": " + str(err)).lower()
+        return any(t in s for t in ("corrupt", "decode", "parse", "read",
+                                    "zarr", "ocdbt", "restore", "ck"))
+
+    assert any(is_real_cause(err) for err in chain), chain

@@ -116,3 +116,42 @@ def test_vigor_limited_fov_parity(ref_models):
     ref, out = _run_pair(torch, tmodel, cfg, (320, 320), (512, 512),
                          loc_offsets=tuple(range(-4, 5)))
     _check(ref, out, 20)
+
+
+def test_api_limited_fov_parity(ref_models, tmp_path):
+    """BASELINE config 3 through the serving API (VERDICT item 10):
+    api.load_model on a reference-format checkpoint + predict(fov=180,
+    ori_noise=72) reproduces CVM_VIGOR_ori_prior(circular_padding=False) on
+    the half-width panorama (mirrors test_vigor_limited_fov_parity)."""
+    torch, rm = ref_models
+    from ccvpe_tpu import api
+    from ccvpe_tpu.data import transforms as T
+
+    tmodel = rm.CVM_VIGOR_ori_prior("cpu", ori_noise=72.0,
+                                    circular_padding=False)
+    tmodel.eval()
+    path = str(tmp_path / "ref.pt")
+    torch.save(tmodel.state_dict(), path)
+    model = api.load_model(path, preset="VIGOR")
+
+    rng = np.random.default_rng(3)
+    grd_u8 = rng.integers(0, 255, (320, 640, 3), dtype=np.uint8)
+    sat_u8 = rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+    pose = model.predict(grd_u8, sat_u8, fov=180.0, ori_noise=72.0,
+                         return_heatmap=True)
+
+    mean = np.asarray(T.IMAGENET_MEAN, np.float32)
+    std = np.asarray(T.IMAGENET_STD, np.float32)
+
+    def norm(img):
+        x = img.astype(np.float32) / 255.0
+        return ((x - mean) / std).transpose(2, 0, 1)[None]
+
+    with torch.no_grad():
+        # reference eval crop: grd[..., :int(W*FoV/360)] (train_VIGOR.py:272)
+        ref = tmodel(torch.tensor(norm(grd_u8)[:, :, :, :320]),
+                     torch.tensor(norm(sat_u8)))
+    ref_hm = ref[1].numpy()[0, 0]
+    r, c = np.unravel_index(ref_hm.argmax(), ref_hm.shape)
+    assert (pose.row, pose.col) == (r, c)
+    np.testing.assert_allclose(pose.heatmap, ref_hm, atol=1e-6, rtol=1e-2)
