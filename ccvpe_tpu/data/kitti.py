@@ -102,7 +102,12 @@ class KittiSampler:
             content = f.readline().split(" ")
         return float(content[0]), float(content[1]), float(content[5])
 
-    def __call__(self, idx: int) -> dict:
+    # Two-phase protocol (``pipeline.Loader`` batched native decode): both
+    # the ground frame (resized) and the raw satmap (decoded at native size)
+    # come out of one C++ batch call; the PIL alignment chain (or the
+    # device-augment passthrough) runs in ``assemble``.
+    def plan(self, idx: int) -> dict:
+        idx = int(idx)
         if self.index.test:
             file_name, sx, sy, theta = self.index.entries[idx]
             gt_shift_x, gt_shift_y = -sx, -sy   # ``datasets.py:585-586``
@@ -112,18 +117,39 @@ class KittiSampler:
             gt_shift_x = float(self.rng.uniform(-1, 1))
             gt_shift_y = float(self.rng.uniform(-1, 1))
             random_ori = float(self.rng.uniform(-1, 1)) * self.rotation_range
-
-        _, _, heading = self._read_oxts(file_name)
         drive_dir = file_name[:38]
         image_no = file_name[38:]
-
         grd_path = os.path.join(self.index.root, GRDIMAGE_DIR, drive_dir,
                                 LEFT_COLOR_CAMERA_DIR, image_no.lower())
-        grd = transforms.load_image(grd_path, self.grd_hw)
+        sat_path = os.path.join(self.index.root, SATMAP_DIR, file_name)
+        return {"idx": idx, "file_name": file_name,
+                "gt_shift_x": gt_shift_x, "gt_shift_y": gt_shift_y,
+                "random_ori": random_ori,
+                "requests": {"grd": (grd_path, self.grd_hw),
+                             "sat": (sat_path, self._sat_raw_hw(sat_path))}}
 
-        with Image.open(os.path.join(self.index.root, SATMAP_DIR,
-                                     file_name)) as im:
-            sat_map = im.convert("RGB")
+    def _sat_raw_hw(self, sat_path: str) -> tuple[int, int]:
+        """Raw satmap size (uniform across the KITTI-CVL release; read once
+        from the first file's header).  Native decode at the raw size is a
+        pure decode — the alignment chain needs full resolution."""
+        if not hasattr(self, "_sat_hw_cache"):
+            with Image.open(sat_path) as im:
+                self._sat_hw_cache = (im.size[1], im.size[0])
+        return self._sat_hw_cache
+
+    def assemble(self, plan: dict, images: dict) -> dict:
+        file_name = plan["file_name"]
+        gt_shift_x, gt_shift_y = plan["gt_shift_x"], plan["gt_shift_y"]
+        random_ori = plan["random_ori"]
+        _, _, heading = self._read_oxts(file_name)
+        grd, status, _ = images["grd"]
+        if status != 0:
+            grd = np.zeros((*self.grd_hw, 3), np.uint8)
+        sat_arr, sat_status, _ = images["sat"]
+        if sat_status != 0:
+            raise FileNotFoundError(
+                f"unreadable satmap {file_name} (no reference fallback)")
+        sat_map = Image.fromarray(sat_arr)
 
         if self.device_augment:
             return self._raw_sample(grd, sat_map, heading, gt_shift_x,
@@ -175,6 +201,18 @@ class KittiSampler:
             "col_offset": np.float32(x_offset),
             "orientation_from_north": np.float32(angle),
         }
+
+    def __call__(self, idx: int) -> dict:
+        plan = self.plan(idx)
+        images = {}
+        for key, (path, hw) in plan["requests"].items():
+            if key == "sat":  # raw-size decode; unreadable satmap raises
+                with Image.open(path) as im:
+                    img = np.asarray(im.convert("RGB"), np.uint8)
+            else:
+                img = transforms.load_image(path, hw, fallback_hw=hw)
+            images[key] = (img, 0, img.shape[:2])
+        return self.assemble(plan, images)
 
     def _raw_sample(self, grd, sat_map, heading, gt_shift_x, gt_shift_y,
                     random_ori):

@@ -91,12 +91,14 @@ class OxfordSampler:
         self._map = Image.open(index.sat_path)
         self._map.load()  # decode once up front; crops are then thread-safe
 
-    def _train_crop(self, image_coord):
-        # random polar offset <= 200*sqrt(2) px (``datasets.py:290-304``)
+    def _train_offsets(self):
+        # random polar offset <= 200*sqrt(2) px (``datasets.py:290-304``);
+        # isolated so ``plan`` can consume the RNG serially
         alpha = 2 * math.pi * self.rng.random()
         r = 200 * np.sqrt(2) * self.rng.random()
-        row_offset = int(r * math.cos(alpha))
-        col_offset = int(r * math.sin(alpha))
+        return int(r * math.cos(alpha)), int(r * math.sin(alpha))
+
+    def _train_crop(self, image_coord, row_offset, col_offset):
         row = int(image_coord[1] + row_offset)
         col = int(image_coord[0] + col_offset)
         crop = self._map.crop((col - 400, row - 400, col + 400, row + 400))
@@ -121,12 +123,31 @@ class OxfordSampler:
         return crop, ro, co
 
     def __call__(self, idx: int) -> dict:
-        grd = transforms.load_image(
-            os.path.join(self.index.grd_image_root, self.index.grd_files[idx]),
-            self.grd_hw)
+        plan = self.plan(idx)
+        path, hw = plan["requests"]["grd"]
+        img = transforms.load_image(path, hw, fallback_hw=hw)
+        return self.assemble(plan, {"grd": (img, 0, img.shape[:2])})
+
+    # Two-phase protocol (``pipeline.Loader`` batched native decode): ground
+    # frames decode in the C++ pool; the aerial crop comes from the
+    # already-decoded in-memory map in ``assemble``.
+    def plan(self, idx: int) -> dict:
+        idx = int(idx)
+        plan = {"idx": idx, "requests": {
+            "grd": (os.path.join(self.index.grd_image_root,
+                                 self.index.grd_files[idx]), self.grd_hw)}}
+        if self.index.split == "train":
+            plan["train_offsets"] = self._train_offsets()
+        return plan
+
+    def assemble(self, plan: dict, images: dict) -> dict:
+        idx = plan["idx"]
+        grd, status, _ = images["grd"]
+        if status != 0:
+            grd = np.zeros((*self.grd_hw, 3), np.uint8)
         coord = self.transform(self.index.utm[:, idx])[0]
         if self.index.split == "train":
-            crop, ro, co = self._train_crop(coord)
+            crop, ro, co = self._train_crop(coord, *plan["train_offsets"])
         else:
             crop, ro, co = self._eval_crop(coord)
         sat = np.asarray(

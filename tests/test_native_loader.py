@@ -144,3 +144,68 @@ def test_loader_native_batch_unreadable_fallback(mini_vigor_root, tmp_path):
     (batch,) = list(loader)
     assert batch["grd"][1].max() == 0
     assert batch["grd"][0].max() > 0
+
+
+def test_loader_native_batch_kitti_and_oxford(tmp_path):
+    """KITTI/Oxford samplers also speak the plan/assemble protocol: the
+    native-batch loader reproduces the Python path bit-for-bit (test/eval
+    splits are RNG-free, so both paths are deterministic)."""
+    from ccvpe_tpu.data import kitti, oxford, pipeline
+
+    def wimg(path, hw, seed):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(np.random.default_rng(seed).integers(
+            0, 255, (*hw, 3), dtype=np.uint8)).save(path)
+
+    # -- KITTI (test split: shifts from file columns) --
+    kroot = str(tmp_path / "kitti")
+    drive = "2011_09_26/2011_09_26_drive_0001_sync/"
+    names = [drive + f"000000000{i}.png" for i in range(2)]
+    for i, name in enumerate(names):
+        wimg(os.path.join(kroot, "satmap", name), (512, 512), i)
+        img_no = name[38:]
+        wimg(os.path.join(kroot, "raw_data", drive, "image_02/data", img_no),
+             (375, 1242), 10 + i)
+        ox = os.path.join(kroot, "raw_data", drive, "oxts/data",
+                          img_no.replace(".png", ".txt"))
+        os.makedirs(os.path.dirname(ox), exist_ok=True)
+        with open(ox, "w") as f:
+            f.write("49.01 8.43 112.99 0.01 0.01 0.3 " + "0.0 " * 24 + "\n")
+    with open(os.path.join(kroot, "test_files.txt"), "w") as f:
+        f.write("".join(f"{n} 0.31 -0.62 0.47\n" for n in names))
+
+    index = kitti.KittiIndex.load(
+        kroot, os.path.join(kroot, "test_files.txt"), test=True)
+    for device_augment in (False, True):
+        def build(native):
+            sampler = kitti.KittiSampler(index, rotation_range=10,
+                                         device_augment=device_augment)
+            return pipeline.Loader(sampler, np.arange(2), batch_size=2,
+                                   num_workers=2, native_batch=native)
+
+        (ref,), (nat,) = list(build(False)), list(build(True))
+        for key in ref:
+            np.testing.assert_array_equal(ref[key], nat[key])
+
+    # -- Oxford (eval split: deterministic grid crop) --
+    oroot = str(tmp_path / "oxford") + "/"
+    wimg(os.path.join(oroot, "map.png"), (2048, 2048), 5)
+    for i in range(3):
+        wimg(os.path.join(oroot, f"f{i}.png"), (160, 240), i)
+    files = [f"f{i}.png 0 619500.0 5735900.0" for i in range(3)]
+    for j in range(3):
+        with open(oroot + f"test{j+1}_j.txt", "w") as f:
+            f.write(files[j] + "\n")
+    np.save(oroot + "test_yaw.npy", np.asarray([0.3, 1.0, 4.0]))
+
+    oidx = oxford.OxfordIndex.load(oroot, oroot + "map.png", "test")
+
+    def obuild(native):
+        sampler = oxford.OxfordSampler(oidx)
+        return pipeline.Loader(sampler, np.arange(3), batch_size=3,
+                               num_workers=2, native_batch=native)
+
+    (ref,), (nat,) = list(obuild(False)), list(obuild(True))
+    assert obuild(True).native_batch
+    for key in ref:
+        np.testing.assert_array_equal(ref[key], nat[key])
