@@ -300,14 +300,21 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
     def match_epi(x, g, shift, offsets, window):
         """Matching + LMU epilogue.  Pallas v2 path: the kernel also emits
         max-over-bins and the l2-normalized features from the same VMEM
-        tile (one HBM sweep saved per stage); elsewhere the epilogue stays
-        inside the (possibly rematerialized) stage body."""
+        tile; the einsum path fuses the same epilogue analytically (the
+        matching denominator and ``l2_normalize`` share one sum-of-squares,
+        ``ops.matching.matching_scores_with_norm``).  Only the reference
+        roll formulation keeps the epilogue in the stage body."""
         if (matching_impl == "pallas" and x.shape[-1] >= 128
                 and g.shape[-1] == x.shape[-1]):
             from ..ops.pallas_matching import matching_epilogue_pallas
 
             return matching_epilogue_pallas(x, g, shift, tuple(offsets),
                                             window)
+        if match is matching_scores:
+            from ..ops.matching import matching_scores_with_norm
+
+            return matching_scores_with_norm(x, g, shift, tuple(offsets),
+                                             window)
         return match(x, g, shift, offsets, window), None, None
     full_bins = tuple(range(cfg.bins))
     loc_bins = full_bins if loc_offsets is None else tuple(loc_offsets)

@@ -98,6 +98,43 @@ def matching_scores(x, g, shift: int, offsets: tuple[int, ...],
     return (num / (jnp.sqrt(sq) * gnorm[:, None, None, None])).astype(x.dtype)
 
 
+def matching_scores_with_norm(x, g, shift: int, offsets: tuple[int, ...],
+                              window: str = "first", precision=None):
+    """``matching_scores`` + the LMU-stage epilogue (max-over-bins and the
+    l2-normalized feature map) from ONE sum-of-squares pass.
+
+    Every LMU stage computes both the matching scores of ``x`` (whose
+    denominator is ``sqrt(sum_c x^2)``) and ``l2_normalize(x)`` (same
+    reduction).  When the window spans all channels (true at all six VIGOR
+    scales) the two are identical, so computing the reduction once saves a
+    full HBM sweep of the feature map per stage.  Falls back to plain
+    ``matching_scores`` when ``Cg != Cs`` (the window norm is then masked,
+    not the full-channel norm).
+
+    Returns (scores [B,H,W,bins], smax [B,H,W,1] | None, xnorm | None).
+    """
+    cs = x.shape[-1]
+    cg = g.shape[-1]
+    if cg != cs:
+        return matching_scores(x, g, shift, offsets, window,
+                               precision=precision), None, None
+    start = window_start(cs, cg, window)
+    offsets = tuple(int(o) for o in offsets)
+    w = jnp.stack(
+        [jnp.roll(g, (start + i * shift) % cs, axis=1) for i in offsets],
+        axis=-1)  # [B, Cs, bins]
+    num = jnp.einsum("bhwc,bci->bhwi", x, w.astype(x.dtype),
+                     precision=precision, preferred_element_type=jnp.float32)
+    ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    norm = jnp.sqrt(ss)
+    gnorm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)), axis=-1))
+    scores = (num / (norm * gnorm[:, None, None, None])).astype(x.dtype)
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    # F.normalize(p=2) semantics (||x|| clamped at 1e-12, ``models.py:33-40``)
+    xnorm = (x / jnp.maximum(norm, 1e-12).astype(x.dtype))
+    return scores, smax, xnorm
+
+
 def matching_scores_reference(x, g, shift: int, offsets: tuple[int, ...],
                               window: str = "first"):
     """Naive roll/slice formulation, bit-matching the reference loop

@@ -31,6 +31,10 @@ def test_full_model_gradient_parity(torch_oracle):
         import models as rm
         import losses as rl
 
+        # deterministic weights regardless of which tests consumed torch RNG
+        # earlier in the session (the 1-1e-8 cosine bound is tight enough
+        # that the margin varies with the draw)
+        torch.manual_seed(17)
         tmodel = rm.CVM_VIGOR("cpu", circular_padding=True)
         tmodel.train()
         sd = {k: v.detach().numpy().copy()
