@@ -1,0 +1,154 @@
+"""HTTP pose-estimation service (stdlib-only, no web framework).
+
+The reference exposes inference only through training scripts
+(``/root/reference/train_VIGOR.py:244-338``); this wraps the serving API
+(`api.load_model` / `CVMModel.predict`) in a threaded HTTP server so a
+deployment is one command:
+
+    python -m ccvpe_tpu.serve --checkpoint model.pt --preset VIGOR --port 8571
+
+Endpoints:
+  GET  /healthz   -> {"status": "ok", "preset": ..., "device": ...}
+  POST /predict   -> body JSON:
+      {"grd": "<base64 image file>", "sat": "<base64 image file>",
+       "ori_noise": 180.0, "fov": 360.0, "return_heatmap": false}
+    response: {"row": r, "col": c, "orientation_deg": d, "probability": p,
+               "heatmap": [[...]] if requested}
+
+Images are any size (the model resizes); the forward is jitted once per
+(ori_noise-bin, fov) combination and reused across requests — the first
+request for a combination pays the compile, later ones run at the measured
+~3.3 ms/frame streaming latency (`ARCHITECTURE.md`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import math
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    raw = base64.b64decode(b64)
+    with Image.open(io.BytesIO(raw)) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+class PoseService:
+    """Model wrapper shared by all request threads (predict holds the GIL
+    only around the device dispatch; jax execution is thread-safe)."""
+
+    def __init__(self, model, preset: str):
+        self.model = model
+        self.preset = preset
+        self.lock = threading.Lock()
+
+    def info(self) -> dict:
+        import jax
+
+        return {"status": "ok", "preset": self.preset,
+                "device": str(jax.devices()[0]),
+                "grd_hw": list(self.model.cfg.grd_hw),
+                "sat_hw": list(self.model.cfg.sat_hw)}
+
+    def predict(self, payload: dict) -> dict:
+        grd = _decode_image(payload["grd"])
+        sat = _decode_image(payload["sat"])
+        ori_noise = float(payload.get("ori_noise", 180.0))
+        fov = float(payload.get("fov", 360.0))
+        return_heatmap = bool(payload.get("return_heatmap", False))
+        with self.lock:  # one compiled-forward dispatch at a time
+            pose = self.model.predict(grd, sat, ori_noise=ori_noise,
+                                      fov=fov, return_heatmap=return_heatmap)
+        out = {"row": pose.row, "col": pose.col,
+               "orientation_deg": (None if math.isnan(pose.orientation_deg)
+                                   else pose.orientation_deg),
+               "probability": pose.probability}
+        if return_heatmap:
+            out["heatmap"] = np.asarray(pose.heatmap).tolist()
+        return out
+
+
+def make_handler(service: PoseService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._send(200, service.info())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/predict":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n))
+                self._send(200, service.predict(payload))
+            except KeyError as e:
+                self._send(400, {"error": f"missing field {e}"})
+            except Exception as e:  # noqa: BLE001 — report, don't crash
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def build_server(service: PoseService, host: str = "127.0.0.1",
+                 port: int = 8571) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), make_handler(service))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--checkpoint", default=None,
+                    help=".pt or orbax dir (default: random init)")
+    ap.add_argument("--preset", default="VIGOR")
+    ap.add_argument("--matching_impl", default="einsum",
+                    choices=["einsum", "pallas"])
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8571)
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile the default forward before serving")
+    args = ap.parse_args(argv)
+
+    from . import api
+
+    model = api.load_model(args.checkpoint, preset=args.preset,
+                           matching_impl=args.matching_impl)
+    service = PoseService(model, args.preset)
+    if args.warmup:
+        cfg = model.cfg
+        rng = np.random.default_rng(0)
+        model.predict(rng.integers(0, 255, (*cfg.grd_hw, 3), dtype=np.uint8),
+                      rng.integers(0, 255, (*cfg.sat_hw, 3), dtype=np.uint8))
+        print("warmup compile done")
+    server = build_server(service, args.host, args.port)
+    print(f"serving {args.preset} on http://{args.host}:{args.port} "
+          f"(/healthz, /predict)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

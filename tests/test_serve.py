@@ -1,0 +1,92 @@
+"""HTTP serving endpoint: healthz + predict round-trip on an ephemeral port
+(NANO preset; exercises JSON/base64 decode, the FoV/ori_noise plumbing, and
+error paths)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ccvpe_tpu import api, serve
+from ccvpe_tpu.models import cvm
+
+
+@pytest.fixture(scope="module")
+def server():
+    import jax
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(0), cvm.NANO))
+    service = serve.PoseService(model, "NANO")
+    srv = serve.build_server(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", model
+    srv.shutdown()
+
+
+def _b64_png(arr) -> str:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/predict", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    url, model = server
+    with urllib.request.urlopen(url + "/healthz") as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["preset"] == "NANO"
+    assert info["grd_hw"] == list(model.cfg.grd_hw)
+
+
+def test_predict_matches_direct_api(server):
+    url, model = server
+    rng = np.random.default_rng(0)
+    grd = rng.integers(0, 255, (*model.cfg.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (*model.cfg.sat_hw, 3), dtype=np.uint8)
+    code, got = _post(url, {"grd": _b64_png(grd), "sat": _b64_png(sat),
+                            "return_heatmap": True})
+    assert code == 200
+    want = model.predict(grd, sat, return_heatmap=True)
+    assert (got["row"], got["col"]) == (want.row, want.col)
+    np.testing.assert_allclose(got["probability"], want.probability,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["heatmap"]), want.heatmap,
+                               rtol=0, atol=1e-7)
+
+
+def test_predict_fov_and_prior(server):
+    url, model = server
+    rng = np.random.default_rng(1)
+    grd = rng.integers(0, 255, (*model.cfg.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (*model.cfg.sat_hw, 3), dtype=np.uint8)
+    code, got = _post(url, {"grd": _b64_png(grd), "sat": _b64_png(sat),
+                            "fov": 180.0, "ori_noise": 18.0})
+    assert code == 200
+    want = model.predict(grd, sat, fov=180.0, ori_noise=18.0)
+    assert (got["row"], got["col"]) == (want.row, want.col)
+
+
+def test_predict_errors(server):
+    url, _ = server
+    code, got = _post(url, {"grd": "not-base64!!"})
+    assert code in (400, 500)
+    assert "error" in got
+    with urllib.request.urlopen(url + "/healthz") as r:
+        assert r.status == 200  # server survived the bad request
