@@ -253,14 +253,26 @@ def test_bf16_param_residency(tiny_setup):
     for i in range(3):
         state, parts = step(state, batch, jax.random.PRNGKey(i))
         assert np.isfinite(float(parts["loss"]))
-    # residency invariant: params == round(master) leaf-for-leaf
-    mismatch = jax.tree_util.tree_map(
-        lambda p, m: float(jnp.max(jnp.abs(
-            p.astype(jnp.float32) - m.astype(jnp.bfloat16).astype(
-                jnp.float32)))),
-        state.params, state.opt_state.master)
+    # residency invariant: params == round(master) to within 1 bf16 ULP per
+    # leaf.  Exact equality is not guaranteed: the optimizer emits
+    # u = m_new - p in f32 and apply_updates computes round_bf16(p + u),
+    # which can land one ULP off round_bf16(m_new) when p and m_new are not
+    # within the Sterbenz range (the off-by-one is transient — the next
+    # step's delta re-converges the resident copy).
+    def ulp_mismatch(p, m):
+        target = m.astype(jnp.bfloat16).astype(jnp.float32)
+        # bf16 ULP at t (7 explicit mantissa bits): 2**(exponent(t) - 8)
+        # with frexp's mantissa-in-[0.5, 1) exponent convention
+        _, exp = jnp.frexp(jnp.where(target == 0, 1e-38, target))
+        ulp = jnp.exp2(exp.astype(jnp.float32) - 8.0)
+        return float(jnp.max(jnp.abs(p.astype(jnp.float32) - target) / ulp))
+
+    mismatch = jax.tree_util.tree_map(ulp_mismatch, state.params,
+                                      state.opt_state.master)
     worst = max(jax.tree_util.tree_leaves(mismatch))
-    assert worst == 0.0, f"resident params diverged from master by {worst}"
+    # 1.5 separates the benign off-by-one (plus fp noise in the ratio
+    # itself) from real divergence (>= 2 ULP)
+    assert worst < 1.5, f"resident params diverged from master by {worst} ULP"
 
     # trajectory sanity vs the f32 reference optimizer at the same LR
     opt32 = train_loop.make_optimizer(1e-3)
