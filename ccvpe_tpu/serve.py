@@ -28,7 +28,9 @@ import base64
 import io
 import json
 import math
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -42,20 +44,99 @@ def _decode_image(b64: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), np.uint8)
 
 
+class MicroBatcher:
+    """Coalesce concurrent requests into one fixed-shape device batch.
+
+    TPU programs compile per shape, so a throughput deployment serves one
+    compiled batch size and pads short batches: requests queue up, a worker
+    drains up to ``batch`` of them (waiting at most ``max_wait_ms`` after the
+    first), replicates the last sample to fill the compiled shape, runs one
+    ``predict_batch``, and fans the poses back out.  Latency under load
+    amortizes the forward across the whole batch (the batch-128 forward is
+    ~9x cheaper per pair than batch-1, see ARCHITECTURE.md).
+    """
+
+    def __init__(self, model, batch: int, max_wait_ms: float = 5.0,
+                 ori_noise: float = 180.0, fov: float = 360.0):
+        self.model = model
+        self.batch = batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.ori_noise = ori_noise
+        self.fov = fov
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, grd: np.ndarray, sat: np.ndarray,
+               return_heatmap: bool):
+        """Blocking: returns the Pose for this request."""
+        event = threading.Event()
+        slot: dict = {}
+        self._queue.put((grd, sat, return_heatmap, event, slot))
+        event.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["pose"]
+
+    def _worker(self):
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            items = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(items) < self.batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                grd = np.stack([it[0] for it in items]
+                               + [items[-1][0]] * (self.batch - len(items)))
+                sat = np.stack([it[1] for it in items]
+                               + [items[-1][1]] * (self.batch - len(items)))
+                want_hm = any(it[2] for it in items)
+                poses = self.model.predict_batch(
+                    grd, sat, ori_noise=self.ori_noise, fov=self.fov,
+                    return_heatmap=want_hm)
+                for (g, s, rh, event, slot), pose in zip(items, poses):
+                    if not rh:
+                        pose.heatmap = None
+                    slot["pose"] = pose
+                    event.set()
+            except Exception as e:  # noqa: BLE001 — fail the whole batch
+                for _, _, _, event, slot in items:
+                    slot["error"] = e
+                    event.set()
+
+    def stop(self):
+        self._queue.put(None)
+
+
 class PoseService:
     """Model wrapper shared by all request threads (predict holds the GIL
     only around the device dispatch; jax execution is thread-safe)."""
 
-    def __init__(self, model, preset: str):
+    def __init__(self, model, preset: str, batch: int = 1,
+                 max_wait_ms: float = 5.0):
         self.model = model
         self.preset = preset
         self.lock = threading.Lock()
+        # batch > 1: route all /predict traffic (at the server's default
+        # ori_noise/fov) through a micro-batcher; requests that override
+        # ori_noise/fov fall back to the single-pair path
+        self.batcher = (MicroBatcher(model, batch, max_wait_ms)
+                        if batch > 1 else None)
 
     def info(self) -> dict:
         import jax
 
         return {"status": "ok", "preset": self.preset,
                 "device": str(jax.devices()[0]),
+                "batch": self.batcher.batch if self.batcher else 1,
                 "grd_hw": list(self.model.cfg.grd_hw),
                 "sat_hw": list(self.model.cfg.sat_hw)}
 
@@ -65,9 +146,20 @@ class PoseService:
         ori_noise = float(payload.get("ori_noise", 180.0))
         fov = float(payload.get("fov", 360.0))
         return_heatmap = bool(payload.get("return_heatmap", False))
-        with self.lock:  # one compiled-forward dispatch at a time
-            pose = self.model.predict(grd, sat, ori_noise=ori_noise,
-                                      fov=fov, return_heatmap=return_heatmap)
+        if (self.batcher is not None
+                and ori_noise == self.batcher.ori_noise
+                and fov == self.batcher.fov):
+            cfg = self.model.cfg
+            from .api import _prepare
+
+            pose = self.batcher.submit(_prepare(grd, cfg.grd_hw),
+                                       _prepare(sat, cfg.sat_hw),
+                                       return_heatmap)
+        else:
+            with self.lock:  # one compiled-forward dispatch at a time
+                pose = self.model.predict(grd, sat, ori_noise=ori_noise,
+                                          fov=fov,
+                                          return_heatmap=return_heatmap)
         out = {"row": pose.row, "col": pose.col,
                "orientation_deg": (None if math.isnan(pose.orientation_deg)
                                    else pose.orientation_deg),
@@ -126,6 +218,12 @@ def main(argv=None):
                     choices=["einsum", "pallas"])
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8571)
+    ap.add_argument("--batch", type=int, default=1,
+                    help=">1: micro-batch concurrent requests into one "
+                         "fixed-shape device batch")
+    ap.add_argument("--max_wait_ms", type=float, default=5.0,
+                    help="micro-batcher: max wait after the first queued "
+                         "request before dispatching a short batch")
     ap.add_argument("--warmup", action="store_true",
                     help="compile the default forward before serving")
     args = ap.parse_args(argv)
@@ -134,7 +232,8 @@ def main(argv=None):
 
     model = api.load_model(args.checkpoint, preset=args.preset,
                            matching_impl=args.matching_impl)
-    service = PoseService(model, args.preset)
+    service = PoseService(model, args.preset, batch=args.batch,
+                          max_wait_ms=args.max_wait_ms)
     if args.warmup:
         cfg = model.cfg
         rng = np.random.default_rng(0)

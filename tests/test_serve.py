@@ -90,3 +90,49 @@ def test_predict_errors(server):
     assert "error" in got
     with urllib.request.urlopen(url + "/healthz") as r:
         assert r.status == 200  # server survived the bad request
+
+
+def test_micro_batcher_concurrent_requests():
+    """PoseService(batch=4) coalesces concurrent requests into one padded
+    device batch and each caller gets the same pose as the direct API."""
+    import concurrent.futures
+
+    import jax
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(2), cvm.NANO))
+    service = serve.PoseService(model, "NANO", batch=4, max_wait_ms=50.0)
+    rng = np.random.default_rng(3)
+    pairs = [(rng.integers(0, 255, (*cvm.NANO.grd_hw, 3), dtype=np.uint8),
+              rng.integers(0, 255, (*cvm.NANO.sat_hw, 3), dtype=np.uint8))
+             for _ in range(6)]
+
+    def call(i):
+        grd, sat = pairs[i]
+        return service.predict({"grd": _b64_png(grd), "sat": _b64_png(sat)})
+
+    with concurrent.futures.ThreadPoolExecutor(6) as pool:
+        got = list(pool.map(call, range(6)))
+
+    for (grd, sat), g in zip(pairs, got):
+        want = model.predict(grd, sat)
+        assert (g["row"], g["col"]) == (want.row, want.col), (g, want)
+        np.testing.assert_allclose(g["probability"], want.probability,
+                                   rtol=1e-5)
+    service.batcher.stop()
+
+
+def test_micro_batcher_override_falls_back():
+    """A request overriding ori_noise bypasses the batcher (different
+    compiled shape) and still serves correctly."""
+    import jax
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(4), cvm.NANO))
+    service = serve.PoseService(model, "NANO", batch=4, max_wait_ms=5.0)
+    rng = np.random.default_rng(5)
+    grd = rng.integers(0, 255, (*cvm.NANO.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (*cvm.NANO.sat_hw, 3), dtype=np.uint8)
+    got = service.predict({"grd": _b64_png(grd), "sat": _b64_png(sat),
+                           "ori_noise": 18.0})
+    want = model.predict(grd, sat, ori_noise=18.0)
+    assert (got["row"], got["col"]) == (want.row, want.col)
+    service.batcher.stop()
