@@ -28,6 +28,13 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_dir", type=str, default="")
     p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--native_loader", action="store_true",
+                   help="decode whole batches in the C++ thread pool "
+                        "(also enabled by CCVPE_NATIVE_LOADER=1)")
+    p.add_argument("--fast_decode", action="store_true",
+                   help="DCT-scaled JPEG decode for the training feed "
+                        "(native loader only; not bit-identical to PIL, "
+                        "never used for eval; also CCVPE_FAST_DECODE=1)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--test_model_path", type=str,
                    default="models/OxfordRobotCar/model.pt")
@@ -110,7 +117,9 @@ def main(argv=None):
             order = limit(np.arange(len(train_index)))
             rng.shuffle(order)
             loader = pipeline.Loader(train_sampler, order, args.batch_size,
-                                     args.num_workers, multihost=True)
+                                     args.num_workers, multihost=True,
+                                     native_batch=args.native_loader or None,
+                                     fast_decode=args.fast_decode or None)
             pps = trainer.train_epoch(loader, dev_train, epoch)
             print(f"epoch {epoch}: {pps:.1f} train pairs/s")
             val_loader = pipeline.Loader(val_sampler,
