@@ -145,10 +145,17 @@ class KittiSampler:
         grd, status, _ = images["grd"]
         if status != 0:
             grd = np.zeros((*self.grd_hw, 3), np.uint8)
-        sat_arr, sat_status, _ = images["sat"]
+        sat_arr, sat_status, sat_raw_hw = images["sat"]
         if sat_status != 0:
             raise FileNotFoundError(
                 f"unreadable satmap {file_name} (no reference fallback)")
+        if tuple(sat_raw_hw) != sat_arr.shape[:2]:
+            # the batched decode targets the cached uniform satmap size; a
+            # file whose true size differs was silently resized, which would
+            # corrupt the meter-per-pixel alignment chain — re-decode it at
+            # its native size (rare; correctness over speed)
+            with Image.open(plan["requests"]["sat"][0]) as im:
+                sat_arr = np.asarray(im.convert("RGB"), np.uint8)
         sat_map = Image.fromarray(sat_arr)
 
         if self.device_augment:

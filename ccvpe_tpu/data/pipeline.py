@@ -65,11 +65,7 @@ class Loader:
 
             pc = jax.process_count()
             if pc > 1:
-                if batch_size % pc:
-                    raise ValueError(
-                        f"global batch {batch_size} must divide across "
-                        f"{pc} processes")
-                indices = shard_for_process(indices)
+                indices = multihost_indices(indices, batch_size)
                 batch_size //= pc
         self.sample_fn = sample_fn
         self.indices = np.asarray(indices)
@@ -162,6 +158,27 @@ def epoch_indices(n: int, *, shuffle: bool, rng: np.random.Generator):
     if shuffle:
         rng.shuffle(idx)
     return idx
+
+
+def multihost_indices(indices, global_batch_size: int,
+                      process_index: int | None = None,
+                      process_count: int | None = None):
+    """This host's epoch slice under multi-host input sharding.
+
+    Truncates to a whole number of GLOBAL batches first — otherwise hosts
+    can end up with different local batch counts after drop_last and the
+    SPMD loop desyncs (one host dispatches a step the others never join) —
+    then takes this process's strided slice."""
+    import jax
+
+    pc = jax.process_count() if process_count is None else process_count
+    if global_batch_size % pc:
+        raise ValueError(
+            f"global batch {global_batch_size} must divide across "
+            f"{pc} processes")
+    indices = np.asarray(indices)
+    usable = len(indices) - len(indices) % global_batch_size
+    return shard_for_process(indices[:usable], process_index, pc)
 
 
 def shard_for_process(indices, process_index: int | None = None,

@@ -121,8 +121,11 @@ def run_config(cfg: dict) -> dict:
         status = "ok"
     except SystemExit as e:  # missing fixture/dataset -> recorded, not fatal
         metrics, status = {"error": str(e)}, "failed"
-    except FileNotFoundError as e:
-        metrics, status = {"error": str(e)}, "failed"
+    except Exception as e:  # noqa: BLE001 — any per-config failure is
+        # recorded so the remaining configs still run and the report is
+        # still written
+        metrics = {"error": f"{type(e).__name__}: {e}"}
+        status = "failed"
     return {
         "id": cfg["id"],
         "name": cfg["name"],

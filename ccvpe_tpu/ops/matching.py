@@ -73,6 +73,12 @@ def matching_scores(x, g, shift: int, offsets: tuple[int, ...],
     """
     cs = x.shape[-1]
     cg = g.shape[-1]
+    if cg == cs:
+        # every rolled window covers all channels (true at all six VIGOR
+        # scales): single formulation shared with the fused-epilogue path
+        # (XLA dead-code-eliminates the unused smax/xnorm outputs)
+        return matching_scores_with_norm(x, g, shift, offsets, window,
+                                         precision=precision)[0]
     start = window_start(cs, cg, window)
     offsets = tuple(int(o) for o in offsets)
 
@@ -83,17 +89,10 @@ def matching_scores(x, g, shift: int, offsets: tuple[int, ...],
 
     num = jnp.einsum("bhwc,bci->bhwi", x, w.astype(x.dtype),
                      precision=precision, preferred_element_type=jnp.float32)
-    if cg == cs:
-        # every rolled window covers all channels (true at all six VIGOR
-        # scales): the window norm is bin-independent — one reduction
-        # replaces the masked matmul
-        sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
-                     keepdims=True)
-    else:
-        mask = jnp.asarray(_window_mask(cs, cg, start, shift, offsets))
-        sq = jnp.einsum("bhwc,ci->bhwi", jnp.square(x), mask.astype(x.dtype),
-                        precision=precision,
-                        preferred_element_type=jnp.float32)
+    mask = jnp.asarray(_window_mask(cs, cg, start, shift, offsets))
+    sq = jnp.einsum("bhwc,ci->bhwi", jnp.square(x), mask.astype(x.dtype),
+                    precision=precision,
+                    preferred_element_type=jnp.float32)
     gnorm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)), axis=-1))
     return (num / (jnp.sqrt(sq) * gnorm[:, None, None, None])).astype(x.dtype)
 

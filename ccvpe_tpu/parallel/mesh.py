@@ -73,6 +73,21 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def fetch_global(tree):
+    """Host-fetch a tree of small result arrays on every process.
+
+    Single-process: plain ``device_get``.  Multi-host: the arrays are global
+    jax.Arrays whose shards live on other hosts' devices, so ``device_get``
+    would raise — ``process_allgather`` materializes the full global value
+    on every host (each host then accumulates identical metrics)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree_util.tree_map(
+            np.asarray, multihost_utils.process_allgather(tree))
+    return jax.device_get(tree)
+
+
 def replicate(mesh: Mesh, tree):
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(

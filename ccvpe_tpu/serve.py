@@ -90,9 +90,13 @@ class MicroBatcher:
                 if remaining <= 0:
                     break
                 try:
-                    items.append(self._queue.get(timeout=remaining))
+                    item = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if item is None:  # stop() mid-drain: serve this batch,
+                    self._queue.put(None)  # then let the outer loop exit
+                    break
+                items.append(item)
             try:
                 grd = np.stack([it[0] for it in items]
                                + [items[-1][0]] * (self.batch - len(items)))

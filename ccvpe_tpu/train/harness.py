@@ -53,9 +53,19 @@ class Trainer:
             # the batch shards over the whole mesh (see mesh.data_sharded),
             # so data*model must divide the global batch
             import jax as _jax
-            n = len(_jax.devices()) // n_model
+            n_dev = len(_jax.devices())
+            if n_model < 1 or n_dev % n_model:
+                raise ValueError(
+                    f"n_model={n_model} must be a positive divisor of the "
+                    f"device count ({n_dev})")
+            if batch_size and batch_size % n_model:
+                raise ValueError(
+                    f"global batch {batch_size} must be divisible by "
+                    f"n_model={n_model} (the batch shards over the whole "
+                    f"mesh)")
+            n = n_dev // n_model
             if batch_size:
-                while batch_size % (n * n_model):
+                while n > 1 and batch_size % (n * n_model):
                     n -= 1
             mesh = mesh_lib.create_mesh(n_data=n, n_model=n_model)
         self.mesh = mesh
@@ -228,33 +238,54 @@ class Trainer:
         from ..ops.readout import pose_readout
 
         assert self.state is not None
+        pc = jax.process_count()
+        if pc > 1 and not device_readout:
+            raise NotImplementedError(
+                "multi-host eval requires device_readout=True (full "
+                "heatmaps of a cross-host global batch are not fetchable)")
         step = self._get_eval_step(loc_offsets)
         acc = PoseErrorAccumulator()
         t0, pairs = time.time(), 0
         for raw in loader:
             batch = device_batch_fn(raw)
-            grd, sat = mesh_lib.shard_batch(self.mesh,
-                                            (batch["grd"], batch["sat"]))
-            out = step(self.state.params, self.state.bn_state, grd, sat)
+            b_local = int(batch["gt"].shape[0])
             if cities_to_mpp is not None:
-                mpp = np.asarray([cities_to_mpp[c] for c in raw["city"]])
+                mpp_local = np.asarray(
+                    [cities_to_mpp[c] for c in raw["city"]], np.float32)
             else:
-                mpp = meter_per_pixel
-            heading = (raw.get("orientation_from_north")
-                       if with_heading else None)
+                mpp_local = np.full(b_local, meter_per_pixel, np.float32)
+            heading_local = (
+                np.asarray(raw["orientation_from_north"], np.float32)
+                if with_heading else np.zeros(b_local, np.float32))
             if device_readout:
-                r = jax.device_get(pose_readout(
-                    out.heatmap, out.ori, batch["gt"],
-                    batch["orientation"]))
-                acc.update_from_readout(r, mpp,
-                                        orientation_from_north=heading)
+                # assemble the GLOBAL batch for every field the readout
+                # touches (multi-host: each process contributes its local
+                # slice), reduce to per-sample pose scalars on device, then
+                # fetch the small global result everywhere
+                grd, sat, gt, omap, mpp_d, head_d = mesh_lib.shard_batch(
+                    self.mesh, (batch["grd"], batch["sat"], batch["gt"],
+                                batch["orientation"], mpp_local,
+                                heading_local))
+                out = step(self.state.params, self.state.bn_state, grd, sat)
+                r = dict(pose_readout(out.heatmap, out.ori, gt, omap),
+                         mpp=mpp_d, heading=head_d)
+                r = mesh_lib.fetch_global(r)
+                mpp_g, head_g = r.pop("mpp"), r.pop("heading")
+                acc.update_from_readout(
+                    r, mpp_g,
+                    orientation_from_north=head_g if with_heading else None)
+                pairs += int(mpp_g.shape[0])
             else:
+                grd, sat = mesh_lib.shard_batch(
+                    self.mesh, (batch["grd"], batch["sat"]))
+                out = step(self.state.params, self.state.bn_state, grd, sat)
                 acc.update(np.asarray(out.heatmap),
                            np.asarray(batch["gt"])[..., None],
                            np.asarray(out.ori),
-                           np.asarray(batch["orientation"]), mpp,
-                           orientation_from_north=heading)
-            pairs += int(batch["gt"].shape[0])
+                           np.asarray(batch["orientation"]), mpp_local,
+                           orientation_from_north=(
+                               heading_local if with_heading else None))
+                pairs += b_local
         summary = acc.summary()
         summary["pairs_per_sec"] = pairs / max(time.time() - t0, 1e-9)
         return summary

@@ -451,3 +451,24 @@ def test_shard_for_process():
     np.testing.assert_array_equal(np.sort(np.concatenate(shards)), idx)
     np.testing.assert_array_equal(shards[1], [1, 5, 9])
     np.testing.assert_array_equal(pipeline.shard_for_process(idx, 0, 1), idx)
+
+
+def test_multihost_indices_equal_batch_counts():
+    """Every process gets the same number of local batches even when the
+    epoch length is not a multiple of the global batch (review finding:
+    unequal counts desync the SPMD train loop)."""
+    n, global_bs, pc = 15, 8, 2
+    slices = [pipeline.multihost_indices(np.arange(n), global_bs,
+                                         process_index=pi, process_count=pc)
+              for pi in range(pc)]
+    local_bs = global_bs // pc
+    counts = [len(s) // local_bs for s in slices]
+    assert counts[0] == counts[1] == 1
+    # disjoint cover of the truncated prefix
+    merged = sorted(np.concatenate(slices).tolist())
+    assert merged == list(range(8))
+    # indivisible global batch raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pipeline.multihost_indices(np.arange(n), 9, process_index=0,
+                                   process_count=2)

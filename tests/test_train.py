@@ -310,3 +310,18 @@ def test_bf16_checkpoint_roundtrip(tiny_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # the restored opt state keeps the MasterState structure
     assert isinstance(restored.opt_state, train_loop.MasterState)
+
+
+def test_trainer_mesh_sizing_errors():
+    """Invalid n_model / batch combinations raise a clear ValueError instead
+    of a ZeroDivisionError in the mesh sizing loop (review finding)."""
+    from ccvpe_tpu.train.harness import Trainer
+
+    with pytest.raises(ValueError, match="n_model"):
+        Trainer(cvm.NANO, n_model=3)  # 8 virtual devices % 3 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(cvm.NANO, batch_size=9, n_model=2)
+    # a valid combination still sizes the data axis to fit the batch
+    t = Trainer(cvm.NANO, batch_size=12, n_model=2)
+    assert dict(t.mesh.shape)["model"] == 2
+    assert 12 % (dict(t.mesh.shape)["data"] * 2) == 0

@@ -136,7 +136,8 @@ def main(argv=None):
             return None
         loader = pipeline.Loader(sampler,
                                  limit(np.arange(len(sampler.index))),
-                                 args.batch_size, args.num_workers)
+                                 args.batch_size, args.num_workers,
+                                 multihost=True)
         return trainer.evaluate(loader, dev_eval, meter_per_pixel=mpp,
                                 with_heading=with_heading)
 

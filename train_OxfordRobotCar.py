@@ -124,7 +124,8 @@ def main(argv=None):
             print(f"epoch {epoch}: {pps:.1f} train pairs/s")
             val_loader = pipeline.Loader(val_sampler,
                                          limit(np.arange(len(val_index))),
-                                         args.batch_size, args.num_workers)
+                                         args.batch_size, args.num_workers,
+                                         multihost=True)
             summary = trainer.evaluate(val_loader, dev_eval,
                                        meter_per_pixel=OXFORD_METER_PER_PIXEL)
             print(f"epoch {epoch} validation: {summary}")
@@ -145,7 +146,7 @@ def main(argv=None):
             idx = limit(np.arange(start, start + length))
             start += length
             loader = pipeline.Loader(sampler, idx, args.batch_size,
-                                     args.num_workers)
+                                     args.num_workers, multihost=True)
             summary = trainer.evaluate(loader, dev_eval,
                                        meter_per_pixel=OXFORD_METER_PER_PIXEL,
                                        with_heading=True)

@@ -166,7 +166,7 @@ def main(argv=None):
             pps = trainer.train_epoch(loader, dev_train, epoch)
             print(f"epoch {epoch}: {pps:.1f} train pairs/s")
             val_loader = pipeline.Loader(sampler, val_idx, args.batch_size,
-                                         args.num_workers)
+                                         args.num_workers, multihost=True)
             summary = trainer.evaluate(val_loader, dev_eval,
                                        meter_per_pixel=None,
                                        cities_to_mpp=VIGOR_METER_PER_PIXEL)
@@ -207,7 +207,7 @@ def main(argv=None):
         if args.steps_per_epoch:
             indices = indices[:args.steps_per_epoch * args.batch_size]
         loader = pipeline.Loader(sampler, indices, args.batch_size,
-                                 args.num_workers)
+                                 args.num_workers, multihost=True)
         dev_eval = lambda raw: crop_fov(vigor.device_batch(
             raw, train=False, sat_hw=sat_hw, bins=cfg.bins))
         summary = trainer.evaluate(loader, dev_eval, meter_per_pixel=None,
