@@ -71,10 +71,30 @@ def main():
             state, parts = jstep(state, batch, jax.random.PRNGKey(i))
         loss = float(parts["loss"])
         dt = (time.perf_counter() - t0) / n
+
+        # MFU: XLA's FLOP count of the compiled step (fwd+bwd+Adam, incl.
+        # remat recompute) over the chip's dense bf16 peak (see bench.py)
+        mfu = ""
+        import bench as bench_mod
+
+        try:  # reuses jstep's cached executable — no recompile
+            cost = jstep.lower(state, batch,
+                               jax.random.PRNGKey(0)).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost["flops"])
+        except Exception:
+            flops = None
+        if flops is not None:
+            achieved = flops / dt
+            mfu = f", {achieved / 1e12:.1f} TFLOP/s"
+            peak = bench_mod.peak_flops(jax.devices()[0])
+            if peak:
+                mfu += f" = {100 * achieved / peak:.1f}% MFU"
         print(f"{preset} B={b} {dtype_name} remat={remat} "
               f"bf16_params={bf16_params}: "
               f"{dt * 1e3:.0f} ms/step -> {b / dt:.1f} pairs/s "
-              f"(loss {loss:.0f})", flush=True)
+              f"(loss {loss:.0f}{mfu})", flush=True)
 
 
 if __name__ == "__main__":
