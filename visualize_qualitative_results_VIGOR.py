@@ -28,10 +28,6 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    from matplotlib.colors import LogNorm
     import jax
 
     from ccvpe_tpu.data import vigor
@@ -70,35 +66,12 @@ def main(argv=None):
         cfg, loc_offsets=tuple(range(-n, n + 1))))
     out = eval_step(params, bn_state, batch["grd"], batch["sat"])
 
+    from ccvpe_tpu.visualize import render
+
     heatmap = np.asarray(out.heatmap)[0, :, :, 0]
     ori = np.asarray(out.ori)[0]
     gt = np.asarray(batch["gt"])[0]
-    sat_img = raw["sat"][0]
-
-    loc_gt = np.unravel_index(gt.argmax(), gt.shape)
-    loc_pred = np.unravel_index(heatmap.argmax(), heatmap.shape)
-
-    fig, axes = plt.subplots(1, 2, figsize=(14, 7))
-    axes[0].imshow(sat_img)
-    axes[0].imshow(heatmap, norm=LogNorm(vmax=heatmap.max()), alpha=0.6,
-                   cmap="Reds")
-    axes[0].scatter(loc_gt[1], loc_gt[0], s=200, marker="^", c="g",
-                    edgecolors="white", label="GT")
-    axes[0].scatter(loc_pred[1], loc_pred[0], s=200, marker="*", c="gold",
-                    edgecolors="white", label="Pred")
-    axes[0].legend()
-    axes[0].set_title("localization heatmap")
-    axes[0].axis("off")
-
-    step = 40  # quiver stride as the reference (:150)
-    ys, xs = np.mgrid[0:heatmap.shape[0]:step, 0:heatmap.shape[1]:step]
-    axes[1].imshow(sat_img)
-    axes[1].quiver(xs, ys, ori[::step, ::step, 1], ori[::step, ::step, 0],
-                   color="r")
-    axes[1].set_title("orientation field (cos/sin)")
-    axes[1].axis("off")
-    fig.tight_layout()
-    fig.savefig(args.out, dpi=120)
+    loc_pred, loc_gt = render(raw["sat"][0], heatmap, ori, gt, args.out)
     print(f"saved {args.out}; pred={loc_pred} gt={loc_gt}")
 
 
