@@ -152,15 +152,19 @@ def _prepare(img: np.ndarray, hw) -> np.ndarray:
     return img
 
 
-def export_model(model: CVMModel, path: str, *, batch: int = 1,
+def export_model(model: CVMModel, path: str, *, batch: int | str = 1,
                  ori_noise: float = 180.0,
                  platforms: Sequence[str] | None = None) -> None:
     """Serialize the inference computation for deployment.
 
     Writes a directory with the ``jax.export`` StableHLO artifact of the
-    jitted pose forward (fixed ``batch``; params as inputs) plus the weights.
-    The artifact is loadable without this package's model code — the serving
-    host only needs jax (``load_exported``).
+    jitted pose forward (params as inputs) plus the weights.  The artifact
+    is loadable without this package's model code — the serving host only
+    needs jax (``load_exported``).
+
+    ``batch``: a fixed batch size, or ``"dynamic"`` to export with a
+    symbolic batch dimension — one artifact serves any batch size (each
+    distinct size still compiles once on the serving host).
 
     ``platforms``: lowering platforms, e.g. ``("tpu", "cpu")`` for an
     artifact that runs on both; defaults to the current backend.
@@ -179,14 +183,15 @@ def export_model(model: CVMModel, path: str, *, batch: int = 1,
     fwd = src._forward(_ori_noise_to_n(ori_noise))
 
     cfg = model.cfg
+    b = jexport.symbolic_shape("b")[0] if batch == "dynamic" else batch
     spec = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     arg_specs = (
         jax.tree_util.tree_map(
             lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), model.params),
         jax.tree_util.tree_map(
             lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), model.bn_state),
-        spec((batch, *cfg.grd_hw, 3)),
-        spec((batch, *cfg.sat_hw, 3)),
+        spec((b, *cfg.grd_hw, 3)),
+        spec((b, *cfg.sat_hw, 3)),
     )
     exp = jexport.export(fwd, platforms=platforms)(*arg_specs)
 
@@ -219,11 +224,12 @@ class ExportedModel:
 
     def predict_batch(self, grd: np.ndarray, sat: np.ndarray,
                       *, return_heatmap: bool = False) -> list[Pose]:
-        if grd.shape[0] != self.meta["batch"]:
+        want = self.meta["batch"]
+        if want != "dynamic" and grd.shape[0] != want:
             raise ValueError(
-                f"this export is fixed to batch={self.meta['batch']}; "
+                f"this export is fixed to batch={want}; "
                 f"got {grd.shape[0]} images (re-export with batch="
-                f"{grd.shape[0]} or pad the batch)")
+                f"{grd.shape[0]} or batch='dynamic', or pad the batch)")
         g = transforms.normalize_images(jnp.asarray(grd))
         s = transforms.normalize_images(jnp.asarray(sat))
         r = jax.device_get(self._call(self.params, self.bn_state, g, s))

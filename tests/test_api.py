@@ -241,3 +241,23 @@ def test_load_model_corrupt_checkpoint_surfaces_cause(tmp_path):
                                     "zarr", "ocdbt", "restore", "ck"))
 
     assert any(is_real_cause(err) for err in chain), chain
+
+
+def test_export_dynamic_batch(tmp_path):
+    """batch='dynamic' exports one artifact with a symbolic batch dim that
+    serves any batch size and matches fixed-batch predictions."""
+    import jax
+    from ccvpe_tpu.models import cvm
+
+    m = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(6), cvm.NANO))
+    path = str(tmp_path / "export_dyn")
+    api.export_model(m, path, batch="dynamic")
+    served = api.load_exported(path)
+    rng = np.random.default_rng(0)
+    for bs in (1, 3):
+        grd = rng.integers(0, 255, (bs, *cvm.NANO.grd_hw, 3), dtype=np.uint8)
+        sat = rng.integers(0, 255, (bs, *cvm.NANO.sat_hw, 3), dtype=np.uint8)
+        got = served.predict_batch(grd, sat)
+        want = m.predict_batch(grd, sat)
+        for g, w in zip(got, want):
+            assert (g.row, g.col) == (w.row, w.col)
