@@ -61,11 +61,25 @@ def _poses_from_readout(r, batch: int, return_heatmap: bool) -> list[Pose]:
 
 class CVMModel:
     def __init__(self, cfg: cvm.CVMConfig, params, bn_state,
-                 matching_impl: str = "einsum"):
+                 matching_impl: str = "einsum", mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` (or ``mesh="data"`` for an
+        all-devices data mesh) shards ``predict_batch`` inputs over the
+        devices — multi-chip serving throughput scales linearly; the batch
+        must divide the device count.  Default: single-device jit."""
         self.cfg = cfg
-        self.params = params
-        self.bn_state = bn_state
         self.matching_impl = matching_impl
+        if mesh == "data":
+            from .parallel import mesh as mesh_lib
+
+            mesh = mesh_lib.create_mesh()
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import mesh as mesh_lib
+
+            self.params, self.bn_state = mesh_lib.replicate(
+                mesh, (params, bn_state))
+        else:
+            self.params, self.bn_state = params, bn_state
         self._compiled: dict = {}
 
     def _forward(self, n_bins_offsets, circular: bool | None = None):
@@ -115,6 +129,12 @@ class CVMModel:
         fwd = self._forward(_ori_noise_to_n(ori_noise), circular)
         g = transforms.normalize_images(jnp.asarray(grd))
         s = transforms.normalize_images(jnp.asarray(sat))
+        if self.mesh is not None and g.shape[0] % self.mesh.size == 0:
+            # batches that don't divide the mesh (e.g. single-pair predict)
+            # fall back to replicated placement
+            from .parallel import mesh as mesh_lib
+
+            g, s = mesh_lib.shard_batch(self.mesh, (g, s))
         r = jax.device_get(fwd(self.params, self.bn_state, g, s))
         return _poses_from_readout(r, grd.shape[0], return_heatmap)
 
@@ -242,12 +262,16 @@ def load_exported(path: str) -> ExportedModel:
 
 
 def load_model(checkpoint_path: str | None = None, preset: str = "VIGOR",
-               seed: int = 0, matching_impl: str = "einsum") -> CVMModel:
+               seed: int = 0, matching_impl: str = "einsum",
+               mesh=None) -> CVMModel:
     """Build a model from a torch checkpoint (.pt), an orbax directory, or
     random init (checkpoint_path=None).
 
     ``matching_impl``: 'einsum' (default) or 'pallas' (fused TPU kernel with
-    the decoder-stage epilogue; falls back to the interpreter off-TPU)."""
+    the decoder-stage epilogue; falls back to the interpreter off-TPU).
+
+    ``mesh``: ``"data"`` (or a ``jax.sharding.Mesh``) shards batched
+    inference over all local devices — multi-chip serving."""
     cfg = cvm.PRESETS[preset]
     if checkpoint_path is None:
         params, bn_state = cvm.init(jax.random.PRNGKey(seed), cfg)
@@ -293,4 +317,5 @@ def load_model(checkpoint_path: str | None = None, preset: str = "VIGOR",
             # checkpoint surfaces its true cause, not a template mismatch
             raise errs[-1] from (errs[0] if len(errs) > 1 else None)
         params, bn_state = state.params, state.bn_state
-    return CVMModel(cfg, params, bn_state, matching_impl=matching_impl)
+    return CVMModel(cfg, params, bn_state, matching_impl=matching_impl,
+                    mesh=mesh)

@@ -261,3 +261,29 @@ def test_export_dynamic_batch(tmp_path):
         want = m.predict_batch(grd, sat)
         for g, w in zip(got, want):
             assert (g.row, g.col) == (w.row, w.col)
+
+
+def test_predict_batch_data_parallel_mesh():
+    """mesh='data' shards predict_batch over the 8 virtual devices and
+    reproduces single-device poses exactly; a non-divisible single-pair
+    predict falls back to replicated placement."""
+    import jax
+    from ccvpe_tpu.models import cvm
+
+    params, bn = cvm.init(jax.random.PRNGKey(7), cvm.NANO)
+    single = api.CVMModel(cvm.NANO, params, bn)
+    sharded = api.CVMModel(cvm.NANO, params, bn, mesh="data")
+    assert sharded.mesh is not None and sharded.mesh.size == 8
+
+    rng = np.random.default_rng(8)
+    grd = rng.integers(0, 255, (8, *cvm.NANO.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (8, *cvm.NANO.sat_hw, 3), dtype=np.uint8)
+    a = single.predict_batch(grd, sat)
+    b = sharded.predict_batch(grd, sat)
+    for x, y in zip(a, b):
+        assert (x.row, x.col) == (y.row, y.col)
+        np.testing.assert_allclose(x.probability, y.probability, rtol=1e-4)
+
+    p1 = sharded.predict(grd[0], sat[0])  # batch 1 on an 8-device mesh
+    p2 = single.predict(grd[0], sat[0])
+    assert (p1.row, p1.col) == (p2.row, p2.col)
