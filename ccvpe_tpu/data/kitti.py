@@ -82,7 +82,8 @@ class KittiSampler:
     def __init__(self, index: KittiIndex, *, shift_range_lat: float = 20.0,
                  shift_range_lon: float = 20.0, rotation_range: float = 10.0,
                  grd_hw=GRD_HW, sat_hw=SAT_HW, seed: int = 0,
-                 device_augment: bool = False):
+                 device_augment: bool = False,
+                 grd_cache=None, sat_cache=None):
         self.device_augment = device_augment
         self.index = index
         self.mpp = meter_per_pixel(scale=1)
@@ -92,6 +93,24 @@ class KittiSampler:
         self.grd_hw = grd_hw
         self.sat_hw = sat_hw
         self.rng = np.random.default_rng(seed)
+        # optional preprocessed-array caches (data/cache.py), keyed by entry
+        # index: grd at grd_hw; satmaps RAW (uniform release size) since the
+        # alignment chain needs full resolution
+        self.grd_cache = grd_cache
+        self.sat_cache = sat_cache
+
+    def entry_file_name(self, idx: int) -> str:
+        e = self.index.entries[int(idx)]
+        return e[0] if self.index.test else e
+
+    def grd_path(self, idx: int) -> str:
+        name = self.entry_file_name(idx)
+        return os.path.join(self.index.root, GRDIMAGE_DIR, name[:38],
+                            LEFT_COLOR_CAMERA_DIR, name[38:].lower())
+
+    def sat_path(self, idx: int) -> str:
+        return os.path.join(self.index.root, SATMAP_DIR,
+                            self.entry_file_name(idx))
 
     def _read_oxts(self, file_name: str):
         drive_dir = file_name[:38]
@@ -117,16 +136,15 @@ class KittiSampler:
             gt_shift_x = float(self.rng.uniform(-1, 1))
             gt_shift_y = float(self.rng.uniform(-1, 1))
             random_ori = float(self.rng.uniform(-1, 1)) * self.rotation_range
-        drive_dir = file_name[:38]
-        image_no = file_name[38:]
-        grd_path = os.path.join(self.index.root, GRDIMAGE_DIR, drive_dir,
-                                LEFT_COLOR_CAMERA_DIR, image_no.lower())
-        sat_path = os.path.join(self.index.root, SATMAP_DIR, file_name)
+        requests = {}
+        if self.grd_cache is None:
+            requests["grd"] = (self.grd_path(idx), self.grd_hw)
+        if self.sat_cache is None:
+            sat_path = self.sat_path(idx)
+            requests["sat"] = (sat_path, self._sat_raw_hw(sat_path))
         return {"idx": idx, "file_name": file_name,
                 "gt_shift_x": gt_shift_x, "gt_shift_y": gt_shift_y,
-                "random_ori": random_ori,
-                "requests": {"grd": (grd_path, self.grd_hw),
-                             "sat": (sat_path, self._sat_raw_hw(sat_path))}}
+                "random_ori": random_ori, "requests": requests}
 
     def _sat_raw_hw(self, sat_path: str) -> tuple[int, int]:
         """Raw satmap size (uniform across the KITTI-CVL release; read once
@@ -142,20 +160,27 @@ class KittiSampler:
         gt_shift_x, gt_shift_y = plan["gt_shift_x"], plan["gt_shift_y"]
         random_ori = plan["random_ori"]
         _, _, heading = self._read_oxts(file_name)
-        grd, status, _ = images["grd"]
-        if status != 0:
-            grd = np.zeros((*self.grd_hw, 3), np.uint8)
-        sat_arr, sat_status, sat_raw_hw = images["sat"]
-        if sat_status != 0:
-            raise FileNotFoundError(
-                f"unreadable satmap {file_name} (no reference fallback)")
-        if tuple(sat_raw_hw) != sat_arr.shape[:2]:
-            # the batched decode targets the cached uniform satmap size; a
-            # file whose true size differs was silently resized, which would
-            # corrupt the meter-per-pixel alignment chain — re-decode it at
-            # its native size (rare; correctness over speed)
-            with Image.open(plan["requests"]["sat"][0]) as im:
-                sat_arr = np.asarray(im.convert("RGB"), np.uint8)
+        if self.grd_cache is not None:
+            grd = np.asarray(self.grd_cache[plan["idx"]])
+        else:
+            grd, status, _ = images["grd"]
+            if status != 0:
+                grd = np.zeros((*self.grd_hw, 3), np.uint8)
+        if self.sat_cache is not None:
+            sat_arr = np.asarray(self.sat_cache[plan["idx"]])
+        else:
+            sat_arr, sat_status, sat_raw_hw = images["sat"]
+            if sat_status != 0:
+                raise FileNotFoundError(
+                    f"unreadable satmap {file_name} (no reference fallback)")
+            if tuple(sat_raw_hw) != sat_arr.shape[:2]:
+                # the batched decode targets the cached uniform satmap size;
+                # a file whose true size differs was silently resized, which
+                # would corrupt the meter-per-pixel alignment chain —
+                # re-decode it at its native size (rare; correctness over
+                # speed)
+                with Image.open(plan["requests"]["sat"][0]) as im:
+                    sat_arr = np.asarray(im.convert("RGB"), np.uint8)
         sat_map = Image.fromarray(sat_arr)
 
         if self.device_augment:

@@ -81,15 +81,23 @@ class OxfordIndex:
 
 class OxfordSampler:
     def __init__(self, index: OxfordIndex, *, grd_hw=GRD_HW, sat_hw=SAT_HW,
-                 seed: int = 0):
+                 seed: int = 0, grd_cache=None):
         self.index = index
         self.grd_hw = grd_hw
         self.sat_hw = sat_hw
         self.transform = utm_to_pixel_transform()
         self.rng = np.random.default_rng(seed)
+        # optional preprocessed-array cache of ground frames at grd_hw
+        # (data/cache.py); the aerial side is already decode-free (one
+        # in-memory map)
+        self.grd_cache = grd_cache
         Image.MAX_IMAGE_PIXELS = None
         self._map = Image.open(index.sat_path)
         self._map.load()  # decode once up front; crops are then thread-safe
+
+    def grd_path(self, idx: int) -> str:
+        return os.path.join(self.index.grd_image_root,
+                            self.index.grd_files[int(idx)])
 
     def _train_offsets(self):
         # random polar offset <= 200*sqrt(2) px (``datasets.py:290-304``);
@@ -124,27 +132,33 @@ class OxfordSampler:
 
     def __call__(self, idx: int) -> dict:
         plan = self.plan(idx)
-        path, hw = plan["requests"]["grd"]
-        img = transforms.load_image(path, hw, fallback_hw=hw)
-        return self.assemble(plan, {"grd": (img, 0, img.shape[:2])})
+        images = {}
+        if "grd" in plan["requests"]:
+            path, hw = plan["requests"]["grd"]
+            img = transforms.load_image(path, hw, fallback_hw=hw)
+            images["grd"] = (img, 0, img.shape[:2])
+        return self.assemble(plan, images)
 
     # Two-phase protocol (``pipeline.Loader`` batched native decode): ground
     # frames decode in the C++ pool; the aerial crop comes from the
     # already-decoded in-memory map in ``assemble``.
     def plan(self, idx: int) -> dict:
         idx = int(idx)
-        plan = {"idx": idx, "requests": {
-            "grd": (os.path.join(self.index.grd_image_root,
-                                 self.index.grd_files[idx]), self.grd_hw)}}
+        requests = ({} if self.grd_cache is not None
+                    else {"grd": (self.grd_path(idx), self.grd_hw)})
+        plan = {"idx": idx, "requests": requests}
         if self.index.split == "train":
             plan["train_offsets"] = self._train_offsets()
         return plan
 
     def assemble(self, plan: dict, images: dict) -> dict:
         idx = plan["idx"]
-        grd, status, _ = images["grd"]
-        if status != 0:
-            grd = np.zeros((*self.grd_hw, 3), np.uint8)
+        if self.grd_cache is not None:
+            grd = np.asarray(self.grd_cache[idx])
+        else:
+            grd, status, _ = images["grd"]
+            if status != 0:
+                grd = np.zeros((*self.grd_hw, 3), np.uint8)
         coord = self.transform(self.index.utm[:, idx])[0]
         if self.index.split == "train":
             crop, ro, co = self._train_crop(coord, *plan["train_offsets"])

@@ -472,3 +472,42 @@ def test_multihost_indices_equal_batch_counts():
     with _pytest.raises(ValueError):
         pipeline.multihost_indices(np.arange(n), 9, process_index=0,
                                    process_count=2)
+
+
+def test_kitti_oxford_cache_equivalence(kitti_root, tmp_path):
+    """KITTI (grd at model size + RAW satmaps) and Oxford (grd) array caches
+    reproduce the direct-decode samplers bit-for-bit."""
+    from ccvpe_tpu.data.cache import ArrayCache
+
+    # -- KITTI (test split, deterministic) --
+    index = kitti.KittiIndex.load(
+        kitti_root, os.path.join(kitti_root, "test_files.txt"), test=True)
+    plain = kitti.KittiSampler(index, rotation_range=10)
+    n = len(index)
+    grd_c = ArrayCache.build([plain.grd_path(i) for i in range(n)],
+                             kitti.GRD_HW, str(tmp_path / "kgrd"))
+    sat_raw_hw = plain._sat_raw_hw(plain.sat_path(0))
+    sat_c = ArrayCache.build([plain.sat_path(i) for i in range(n)],
+                             sat_raw_hw, str(tmp_path / "ksat"))
+    cached = kitti.KittiSampler(index, rotation_range=10,
+                                grd_cache=grd_c, sat_cache=sat_c)
+    a, b = plain(0), cached(0)
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key]), key
+
+    # -- Oxford (eval split, deterministic) --
+    root = str(tmp_path / "oxford") + "/"
+    _write_img(os.path.join(root, "map.png"), (2048, 2048), 5)
+    _write_img(os.path.join(root, "f0.png"), (160, 240), 0)
+    for j in range(3):
+        with open(root + f"test{j+1}_j.txt", "w") as f:
+            f.write("f0.png 0 619500.0 5735900.0\n" if j == 0 else "")
+    np.save(root + "test_yaw.npy", np.asarray([0.3]))
+    oidx = oxford.OxfordIndex.load(root, root + "map.png", "test")
+    oplain = oxford.OxfordSampler(oidx)
+    ogrd_c = ArrayCache.build([oplain.grd_path(0)], oxford.GRD_HW,
+                              str(tmp_path / "ogrd"))
+    ocached = oxford.OxfordSampler(oidx, grd_cache=ogrd_c)
+    a, b = oplain(0), ocached(0)
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key]), key

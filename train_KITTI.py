@@ -65,6 +65,10 @@ def parse_args(argv=None):
                    help="bfloat16 forward/backward (f32 master weights)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward pass")
+    p.add_argument("--cache_dir", type=str, default="",
+                   help="build/use preprocessed uint8 array caches (ground "
+                        "at model size, satmaps raw) for decode-free input "
+                        "streaming")
     p.add_argument("--model_preset", type=str, default="KITTI")
     return p.parse_args(argv)
 
@@ -122,11 +126,40 @@ def main(argv=None):
             return idx[:args.steps_per_epoch * args.batch_size]
         return idx
 
+    def build_caches(sampler_like, tag):
+        """Ground frames cached at model size; satmaps cached RAW (the
+        alignment chain needs full resolution; sizes are uniform across the
+        KITTI-CVL release)."""
+        if not args.cache_dir:
+            return {}
+        from PIL import Image
+        from ccvpe_tpu.data.cache import ArrayCache
+
+        n = len(sampler_like.index)
+        grd_paths = [sampler_like.grd_path(i) for i in range(n)]
+        sat_paths = [sampler_like.sat_path(i) for i in range(n)]
+        with Image.open(sat_paths[0]) as im:
+            sat_raw_hw = (im.size[1], im.size[0])
+        caches = {}
+        for name, paths, hw in (("grd", grd_paths, cfg.grd_hw),
+                                ("sat", sat_paths, sat_raw_hw)):
+            prefix = os.path.join(args.cache_dir, f"KITTI_{tag}_{name}")
+            if not ArrayCache.exists(prefix):
+                print(f"building cache {prefix} ({len(paths)} images)...")
+                ArrayCache.build(paths, hw, prefix, progress=True)
+            caches[f"{name}_cache"] = ArrayCache.open(prefix)
+        return caches
+
     test_samplers = []
     for tf in test_files:
         if os.path.exists(tf):
             tindex = kitti.KittiIndex.load(root, tf, test=True)
-            test_samplers.append(kitti.KittiSampler(tindex, **kw))
+            tsampler = kitti.KittiSampler(tindex, **kw)
+            if args.cache_dir:
+                for k, v in build_caches(tsampler,
+                                         os.path.basename(tf)).items():
+                    setattr(tsampler, k, v)
+            test_samplers.append(tsampler)
         else:
             test_samplers.append(None)
 
@@ -145,6 +178,9 @@ def main(argv=None):
         index = kitti.KittiIndex.load(root, train_file, test=False)
         sampler = kitti.KittiSampler(index, device_augment=args.device_augment,
                                      **kw)
+        if args.cache_dir:
+            for k, v in build_caches(sampler, "train").items():
+                setattr(sampler, k, v)
         if not (args.resume and trainer.resume()):
             trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
         rng = np.random.default_rng(0)

@@ -55,6 +55,10 @@ def parse_args(argv=None):
                    help="bfloat16 forward/backward (f32 master weights)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward pass")
+    p.add_argument("--cache_dir", type=str, default="",
+                   help="build/use a preprocessed uint8 cache of the ground "
+                        "frames (the aerial side is already one in-memory "
+                        "map)")
     p.add_argument("--model_preset", type=str, default="OxfordRobotCar")
     return p.parse_args(argv)
 
@@ -101,6 +105,18 @@ def main(argv=None):
             return idx[:args.steps_per_epoch * args.batch_size]
         return idx
 
+    def grd_cache_for(sampler, tag):
+        if not args.cache_dir:
+            return None
+        from ccvpe_tpu.data.cache import ArrayCache
+
+        paths = [sampler.grd_path(i) for i in range(len(sampler.index))]
+        prefix = os.path.join(args.cache_dir, f"Oxford_{tag}_grd")
+        if not ArrayCache.exists(prefix):
+            print(f"building cache {prefix} ({len(paths)} images)...")
+            ArrayCache.build(paths, cfg.grd_hw, prefix, progress=True)
+        return ArrayCache.open(prefix)
+
     if training:
         train_index = oxford.OxfordIndex.load(args.grd_image_root, sat_path,
                                               "train")
@@ -108,8 +124,10 @@ def main(argv=None):
                                             "val")
         train_sampler = oxford.OxfordSampler(train_index, grd_hw=cfg.grd_hw,
                                              sat_hw=cfg.sat_hw)
+        train_sampler.grd_cache = grd_cache_for(train_sampler, "train")
         val_sampler = oxford.OxfordSampler(val_index, grd_hw=cfg.grd_hw,
                                            sat_hw=cfg.sat_hw)
+        val_sampler.grd_cache = grd_cache_for(val_sampler, "val")
         if not (args.resume and trainer.resume()):
             trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
         rng = np.random.default_rng(0)
@@ -135,6 +153,7 @@ def main(argv=None):
         index = oxford.OxfordIndex.load(args.grd_image_root, sat_path, "test")
         sampler = oxford.OxfordSampler(index, grd_hw=cfg.grd_hw,
                                        sat_hw=cfg.sat_hw)
+        sampler.grd_cache = grd_cache_for(sampler, "test")
         if args.test_model_path.endswith(".pt"):
             trainer.load_torch_checkpoint(args.test_model_path)
         else:
