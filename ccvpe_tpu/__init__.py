@@ -10,6 +10,12 @@ Subpackages:
     data      dataset index parsing + input pipelines
     train     losses, train/eval steps, metrics
     parallel  mesh + sharding helpers
+    eval      BASELINE config runner (python -m ccvpe_tpu.eval)
+
+Modules:
+    api        serving front door (load_model / predict / export_model)
+    serve      HTTP pose service (python -m ccvpe_tpu.serve)
+    visualize  qualitative rendering for all three datasets
 """
 
 __version__ = "0.1.0"

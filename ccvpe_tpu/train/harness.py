@@ -246,6 +246,19 @@ class Trainer:
         step = self._get_eval_step(loc_offsets)
         acc = PoseErrorAccumulator()
         t0, pairs = time.time(), 0
+        # double-buffered readout: fetch batch N's pose scalars while batch
+        # N+1 computes, hiding the device->host round-trip behind compute
+        pending = None
+
+        def flush(p):
+            nonlocal pairs
+            r = mesh_lib.fetch_global(p)
+            mpp_g, head_g = r.pop("mpp"), r.pop("heading")
+            acc.update_from_readout(
+                r, mpp_g,
+                orientation_from_north=head_g if with_heading else None)
+            pairs += int(mpp_g.shape[0])
+
         for raw in loader:
             batch = device_batch_fn(raw)
             b_local = int(batch["gt"].shape[0])
@@ -269,12 +282,9 @@ class Trainer:
                 out = step(self.state.params, self.state.bn_state, grd, sat)
                 r = dict(pose_readout(out.heatmap, out.ori, gt, omap),
                          mpp=mpp_d, heading=head_d)
-                r = mesh_lib.fetch_global(r)
-                mpp_g, head_g = r.pop("mpp"), r.pop("heading")
-                acc.update_from_readout(
-                    r, mpp_g,
-                    orientation_from_north=head_g if with_heading else None)
-                pairs += int(mpp_g.shape[0])
+                if pending is not None:
+                    flush(pending)
+                pending = r
             else:
                 grd, sat = mesh_lib.shard_batch(
                     self.mesh, (batch["grd"], batch["sat"]))
@@ -286,6 +296,8 @@ class Trainer:
                            orientation_from_north=(
                                heading_local if with_heading else None))
                 pairs += b_local
+        if pending is not None:
+            flush(pending)
         summary = acc.summary()
         summary["pairs_per_sec"] = pairs / max(time.time() - t0, 1e-9)
         return summary
