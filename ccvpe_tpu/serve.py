@@ -134,6 +134,32 @@ class PoseService:
         # ori_noise/fov fall back to the single-pair path
         self.batcher = (MicroBatcher(model, batch, max_wait_ms)
                         if batch > 1 else None)
+        self._stats_lock = threading.Lock()
+        self._latencies_ms: list[float] = []
+        self._errors = 0
+
+    def _record(self, t0: float):
+        with self._stats_lock:
+            self._latencies_ms.append((time.monotonic() - t0) * 1e3)
+            if len(self._latencies_ms) > 10000:  # bounded window
+                del self._latencies_ms[:5000]
+
+    def metrics(self) -> dict:
+        """Request count, error count, and p50/p95/max latency (ms) over the
+        last <=10k requests — the serving observability surface."""
+        with self._stats_lock:
+            lat = list(self._latencies_ms)
+            errors = self._errors
+        out = {"requests": len(lat), "errors": errors}
+        if lat:
+            lat.sort()
+            out["latency_ms"] = {
+                "p50": round(lat[len(lat) // 2], 3),
+                "p95": round(lat[min(len(lat) - 1,
+                                     int(len(lat) * 0.95))], 3),
+                "max": round(lat[-1], 3),
+            }
+        return out
 
     def info(self) -> dict:
         import jax
@@ -145,6 +171,17 @@ class PoseService:
                 "sat_hw": list(self.model.cfg.sat_hw)}
 
     def predict(self, payload: dict) -> dict:
+        t0 = time.monotonic()
+        try:
+            out = self._predict(payload)
+        except Exception:
+            with self._stats_lock:
+                self._errors += 1
+            raise
+        self._record(t0)
+        return out
+
+    def _predict(self, payload: dict) -> dict:
         grd = _decode_image(payload["grd"])
         sat = _decode_image(payload["sat"])
         ori_noise = float(payload.get("ori_noise", 180.0))
@@ -186,6 +223,8 @@ def make_handler(service: PoseService):
         def do_GET(self):  # noqa: N802 (stdlib API)
             if self.path == "/healthz":
                 self._send(200, service.info())
+            elif self.path == "/metrics":
+                self._send(200, service.metrics())
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 

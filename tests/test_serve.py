@@ -136,3 +136,19 @@ def test_micro_batcher_override_falls_back():
     want = model.predict(grd, sat, ori_noise=18.0)
     assert (got["row"], got["col"]) == (want.row, want.col)
     service.batcher.stop()
+
+
+def test_metrics_endpoint(server):
+    """/metrics reports request counts and latency percentiles."""
+    url, model = server
+    rng = np.random.default_rng(9)
+    grd = rng.integers(0, 255, (*model.cfg.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (*model.cfg.sat_hw, 3), dtype=np.uint8)
+    _post(url, {"grd": _b64_png(grd), "sat": _b64_png(sat)})
+    _post(url, {"grd": "broken"})  # counted as an error
+    with urllib.request.urlopen(url + "/metrics") as r:
+        m = json.loads(r.read())
+    assert m["requests"] >= 1
+    assert m["errors"] >= 1
+    assert m["latency_ms"]["p50"] > 0
+    assert m["latency_ms"]["p95"] >= m["latency_ms"]["p50"]
