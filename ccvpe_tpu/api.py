@@ -65,7 +65,8 @@ class CVMModel:
         """``mesh``: a ``jax.sharding.Mesh`` (or ``mesh="data"`` for an
         all-devices data mesh) shards ``predict_batch`` inputs over the
         devices — multi-chip serving throughput scales linearly; the batch
-        must divide the device count.  Default: single-device jit."""
+        size must be a multiple of the device count (otherwise the batch
+        falls back to replicated placement).  Default: single-device jit."""
         self.cfg = cfg
         self.matching_impl = matching_impl
         if mesh == "data":

@@ -108,3 +108,22 @@ class ArrayCache:
 
     def __getitem__(self, i: int) -> np.ndarray:
         return self._data[i]
+
+
+def build_or_open(paths, hw: tuple[int, int], prefix: str,
+                  n_threads: int = 8, progress: bool = False) -> ArrayCache:
+    """Open ``prefix`` if it matches (same path list, same size), else
+    (re)build it.  Guards against stale caches silently pairing the wrong
+    images with a changed index/split — the recorded path list is the
+    cache's identity."""
+    paths = [str(p) for p in paths]
+    if ArrayCache.exists(prefix):
+        cache = ArrayCache.open(prefix)
+        if (cache.meta["paths"] == paths
+                and tuple(cache.meta["hw"]) == tuple(hw)):
+            return cache
+        print(f"cache {prefix}: stale (paths or size changed); rebuilding")
+    else:
+        print(f"building cache {prefix} ({len(paths)} images)...")
+    return ArrayCache.build(paths, hw, prefix, n_threads=n_threads,
+                            progress=progress)

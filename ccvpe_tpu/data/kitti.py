@@ -167,7 +167,22 @@ class KittiSampler:
             if status != 0:
                 grd = np.zeros((*self.grd_hw, 3), np.uint8)
         if self.sat_cache is not None:
-            sat_arr = np.asarray(self.sat_cache[plan["idx"]])
+            # keep the direct path's guards: unreadable satmaps raise (the
+            # build wrote a blank + recorded the failure), and a satmap
+            # whose native size differs from the cache size is re-decoded
+            # at full resolution (the alignment chain is scale-sensitive)
+            meta = self.sat_cache.meta
+            path = meta["paths"][plan["idx"]]
+            if path in meta.get("failed", ()):
+                raise FileNotFoundError(
+                    f"unreadable satmap {file_name} (recorded at cache "
+                    f"build; no reference fallback)")
+            h, w = meta["hw"]
+            if meta["raw_sizes"][plan["idx"]] != [w, h]:
+                with Image.open(path) as im:
+                    sat_arr = np.asarray(im.convert("RGB"), np.uint8)
+            else:
+                sat_arr = np.asarray(self.sat_cache[plan["idx"]])
         else:
             sat_arr, sat_status, sat_raw_hw = images["sat"]
             if sat_status != 0:

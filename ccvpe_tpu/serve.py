@@ -135,8 +135,9 @@ class PoseService:
         self.batcher = (MicroBatcher(model, batch, max_wait_ms)
                         if batch > 1 else None)
         self._stats_lock = threading.Lock()
-        self._latencies_ms: list[float] = []
-        self._errors = 0
+        self._latencies_ms: list[float] = []  # bounded success window
+        self._requests = 0  # cumulative, errors included
+        self._errors = 0    # cumulative
 
     def _record(self, t0: float):
         with self._stats_lock:
@@ -145,12 +146,13 @@ class PoseService:
                 del self._latencies_ms[:5000]
 
     def metrics(self) -> dict:
-        """Request count, error count, and p50/p95/max latency (ms) over the
-        last <=10k requests — the serving observability surface."""
+        """Cumulative request/error counts plus p50/p95/max latency (ms)
+        over the last <=10k successful requests."""
         with self._stats_lock:
             lat = list(self._latencies_ms)
-            errors = self._errors
-        out = {"requests": len(lat), "errors": errors}
+            requests, errors = self._requests, self._errors
+        out = {"requests": requests, "errors": errors,
+               "latency_window": len(lat)}
         if lat:
             lat.sort()
             out["latency_ms"] = {
@@ -172,6 +174,8 @@ class PoseService:
 
     def predict(self, payload: dict) -> dict:
         t0 = time.monotonic()
+        with self._stats_lock:
+            self._requests += 1
         try:
             out = self._predict(payload)
         except Exception:

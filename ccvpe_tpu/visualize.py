@@ -62,16 +62,30 @@ def load_sample(dataset: str, args, cfg):
     from .data.pipeline import collate
 
     if dataset == "VIGOR":
+        # reference rounding (train_VIGOR.py:49) and the frozen-fixture
+        # contract (SURVEY.md §2 T8): unknown orientation must come from the
+        # shipped .npy, never fresh RNG
+        ori_noise = 18 * (args.ori_noise // 18)
         random_orientation = None
-        if args.ori_noise >= 180:
-            fname = os.path.join(args.orientation_dir or ".",
-                                 f"{args.area}_orientation_test.npy")
-            if os.path.exists(fname):
-                random_orientation = np.load(fname)
+        if ori_noise >= 180:
+            base = f"{args.area}_orientation_test.npy"
+            shipped = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "fixtures", base)
+            candidates = ([os.path.join(args.orientation_dir, base)]
+                          if args.orientation_dir not in ("", ".")
+                          else [shipped, base])
+            fname = next((c for c in candidates if os.path.exists(c)), None)
+            if fname is None:
+                raise SystemExit(
+                    f"frozen orientation fixture {base} not found in "
+                    f"{candidates}; pass --orientation_dir (or --ori_noise "
+                    "< 180 for a known-orientation prior)")
+            random_orientation = np.load(fname)
         index = vigor.VigorIndex.load(args.dataset_root, args.area, False)
         sampler = vigor.VigorSampler(
             index, pos_only=args.pos_only == "True",
-            ori_noise=args.ori_noise,
+            ori_noise=ori_noise,
             random_orientation=random_orientation,
             grd_hw=cfg.grd_hw, sat_hw=cfg.sat_hw)
         raw = collate([sampler(args.idx)])
@@ -149,8 +163,8 @@ def parse_args(argv=None):
     p.add_argument("--pos_only", choices=("True", "False"), default="True")
     p.add_argument("--ori_noise", type=float, default=180.0)
     p.add_argument("--orientation_dir", type=str, default=".")
-    # KITTI
-    p.add_argument("--test_file", type=str, default="test_files.txt")
+    # KITTI (the KITTI-CVL release ships test1/test2 splits)
+    p.add_argument("--test_file", type=str, default="test1_files.txt")
     p.add_argument("--rotation_range", type=float, default=10.0)
     # Oxford
     p.add_argument("--sat_path", type=str, default="")

@@ -29,7 +29,7 @@ def test_visualize_kitti(tmp_path):
     os.makedirs(os.path.dirname(ox), exist_ok=True)
     with open(ox, "w") as f:
         f.write("49.01 8.43 112.99 0.01 0.01 0.3 " + "0.0 " * 24 + "\n")
-    with open(os.path.join(root, "test_files.txt"), "w") as f:
+    with open(os.path.join(root, "test1_files.txt"), "w") as f:
         f.write(f"{name} 0.31 -0.62 0.47\n")
 
     out = str(tmp_path / "kitti.png")

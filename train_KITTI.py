@@ -133,7 +133,7 @@ def main(argv=None):
         if not args.cache_dir:
             return {}
         from PIL import Image
-        from ccvpe_tpu.data.cache import ArrayCache
+        from ccvpe_tpu.data.cache import build_or_open
 
         n = len(sampler_like.index)
         grd_paths = [sampler_like.grd_path(i) for i in range(n)]
@@ -144,10 +144,8 @@ def main(argv=None):
         for name, paths, hw in (("grd", grd_paths, cfg.grd_hw),
                                 ("sat", sat_paths, sat_raw_hw)):
             prefix = os.path.join(args.cache_dir, f"KITTI_{tag}_{name}")
-            if not ArrayCache.exists(prefix):
-                print(f"building cache {prefix} ({len(paths)} images)...")
-                ArrayCache.build(paths, hw, prefix, progress=True)
-            caches[f"{name}_cache"] = ArrayCache.open(prefix)
+            caches[f"{name}_cache"] = build_or_open(paths, hw, prefix,
+                                                    progress=True)
         return caches
 
     test_samplers = []

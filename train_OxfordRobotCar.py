@@ -108,14 +108,11 @@ def main(argv=None):
     def grd_cache_for(sampler, tag):
         if not args.cache_dir:
             return None
-        from ccvpe_tpu.data.cache import ArrayCache
+        from ccvpe_tpu.data.cache import build_or_open
 
         paths = [sampler.grd_path(i) for i in range(len(sampler.index))]
         prefix = os.path.join(args.cache_dir, f"Oxford_{tag}_grd")
-        if not ArrayCache.exists(prefix):
-            print(f"building cache {prefix} ({len(paths)} images)...")
-            ArrayCache.build(paths, cfg.grd_hw, prefix, progress=True)
-        return ArrayCache.open(prefix)
+        return build_or_open(paths, cfg.grd_hw, prefix, progress=True)
 
     if training:
         train_index = oxford.OxfordIndex.load(args.grd_image_root, sat_path,

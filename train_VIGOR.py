@@ -118,16 +118,14 @@ def main(argv=None):
     def build_caches(index, tag):
         if not args.cache_dir:
             return {}
-        from ccvpe_tpu.data.cache import ArrayCache
+        from ccvpe_tpu.data.cache import build_or_open
 
         caches = {}
         for name, paths, hw in (("grd", index.grd_paths, grd_hw),
                                 ("sat", index.sat_paths, sat_hw)):
             prefix = os.path.join(args.cache_dir, f"{args.area}_{tag}_{name}")
-            if not ArrayCache.exists(prefix):
-                print(f"building cache {prefix} ({len(paths)} images)...")
-                ArrayCache.build(paths, hw, prefix, progress=True)
-            caches[f"{name}_cache"] = ArrayCache.open(prefix)
+            caches[f"{name}_cache"] = build_or_open(paths, hw, prefix,
+                                                    progress=True)
         return caches
 
     def crop_fov(batch):
