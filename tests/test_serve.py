@@ -152,3 +152,29 @@ def test_metrics_endpoint(server):
     assert m["errors"] >= 1
     assert m["latency_ms"]["p50"] > 0
     assert m["latency_ms"]["p95"] >= m["latency_ms"]["p50"]
+
+
+def test_micro_batcher_stop_mid_drain():
+    """stop() while the worker is draining a partial batch must not kill the
+    worker before pending requests complete (review regression: the None
+    sentinel used to be consumed as a request item)."""
+    import threading
+    import time
+
+    import jax
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(5), cvm.NANO))
+    batcher = serve.MicroBatcher(model, batch=4, max_wait_ms=2000.0)
+    rng = np.random.default_rng(6)
+    grd = rng.integers(0, 255, (*cvm.NANO.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (*cvm.NANO.sat_hw, 3), dtype=np.uint8)
+
+    results = []
+    t = threading.Thread(
+        target=lambda: results.append(batcher.submit(grd, sat, False)))
+    t.start()
+    time.sleep(0.3)   # the worker is now mid-drain, waiting for more items
+    batcher.stop()    # sentinel lands inside the drain loop
+    t.join(timeout=120)
+    assert not t.is_alive(), "pending request hung after stop()"
+    assert results and 0 <= results[0].row < cvm.NANO.sat_hw[0]

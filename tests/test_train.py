@@ -325,3 +325,26 @@ def test_trainer_mesh_sizing_errors():
     t = Trainer(cvm.NANO, batch_size=12, n_model=2)
     assert dict(t.mesh.shape)["model"] == 2
     assert 12 % (dict(t.mesh.shape)["data"] * 2) == 0
+
+
+def test_evaluate_device_and_host_readout_agree(tiny_setup, tmp_path):
+    """Trainer.evaluate: the on-device pose readout (streaming fast path,
+    double-buffered fetch) and the full-heatmap host readout produce the
+    same metric summary."""
+    from ccvpe_tpu.train.harness import Trainer
+
+    cfg, _, _, batch = tiny_setup
+    raw = jax.device_get(batch)
+    tr = Trainer(cfg, results_dir=str(tmp_path / "results"), batch_size=8)
+    tr.init_state(seed=9)
+    loader = [dict(raw, orientation_from_north=np.linspace(0, 350, 8))]
+    fn = lambda r: {k: v for k, v in r.items()
+                    if k != "orientation_from_north"}
+    dev = tr.evaluate(loader, fn, meter_per_pixel=2.0, with_heading=True)
+    host = tr.evaluate(loader, fn, meter_per_pixel=2.0, with_heading=True,
+                       device_readout=False)
+    for k in dev:
+        if k == "pairs_per_sec":
+            continue
+        assert abs(dev[k] - host[k]) < 1e-4 * max(1.0, abs(host[k])), (
+            k, dev[k], host[k])
