@@ -263,6 +263,10 @@ def main(argv=None):
     ap.add_argument("--preset", default="VIGOR")
     ap.add_argument("--matching_impl", default="einsum",
                     choices=["einsum", "pallas"])
+    ap.add_argument("--mesh", default="", choices=["", "data"],
+                    help="'data': shard batched inference over all local "
+                         "devices (multi-chip serving; pairs well with "
+                         "--batch N for full mesh batches)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8571)
     ap.add_argument("--batch", type=int, default=1,
@@ -278,7 +282,8 @@ def main(argv=None):
     from . import api
 
     model = api.load_model(args.checkpoint, preset=args.preset,
-                           matching_impl=args.matching_impl)
+                           matching_impl=args.matching_impl,
+                           mesh=args.mesh or None)
     service = PoseService(model, args.preset, batch=args.batch,
                           max_wait_ms=args.max_wait_ms)
     if args.warmup:
