@@ -14,6 +14,7 @@ Env knobs:
   CCVPE_BENCH_ITERS   timed iterations (default 30)
   CCVPE_BENCH_PRESET  model preset (default VIGOR)
   CCVPE_BENCH_MATCHING  einsum | pallas | reference (default einsum)
+  CCVPE_BENCH_PLATFORM  pin the jax backend, e.g. cpu (debug/CI)
 """
 
 import json
@@ -65,6 +66,12 @@ def main():
     matching = os.environ.get("CCVPE_BENCH_MATCHING", "einsum")
 
     import jax
+
+    # CCVPE_BENCH_PLATFORM=cpu pins the backend (debug/CI runs; the
+    # environment's sitecustomize may override JAX_PLATFORMS itself)
+    platform = os.environ.get("CCVPE_BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
 
     from ccvpe_tpu.utils import compilation_cache
