@@ -43,7 +43,8 @@ class Trainer:
                  checkpoint_every_steps: int = 0,
                  param_dtype: str = "float32",
                  matching_impl: str = "einsum",
-                 n_model: int = 1):
+                 n_model: int = 1,
+                 keep_checkpoints: int | None = 3):
         """``n_model > 1`` reserves that many devices for the model axis:
         large weights and their optimizer moments are tensor-sharded via
         ``parallel.mesh.tree_shardings`` and GSPMD partitions the matmuls —
@@ -94,7 +95,11 @@ class Trainer:
         self._state_shardings = None
         self._eval_steps: dict = {}
 
-        self.ckpt = (CheckpointManager(checkpoint_dir)
+        # keep_checkpoints: retained checkpoint count; None/0 keeps every
+        # step (the reference keeps all per-epoch torch.save files,
+        # ``train_VIGOR.py:159-163``)
+        self.ckpt = (CheckpointManager(checkpoint_dir,
+                                       max_to_keep=keep_checkpoints or None)
                      if checkpoint_dir else None)
         self.state = None
         self.profile_dir = profile_dir

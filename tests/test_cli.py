@@ -324,3 +324,21 @@ def test_baseline_eval_runner(synthetic_vigor, synthetic_oxford, tmp_path):
     oxford_metrics = next(r for r in saved["results"]
                           if r["id"] == 5)["metrics"]
     assert set(oxford_metrics) == {"test1", "test2", "test3"}
+
+
+def test_keep_checkpoints_zero_keeps_all(synthetic_vigor, tmp_path):
+    """--keep_checkpoints 0 retains every per-epoch checkpoint (the
+    reference's keep-all behavior); the default bounds retention."""
+    import train_VIGOR
+
+    ck = str(tmp_path / "ckpt")
+    train_VIGOR.main([
+        "--dataset_root", synthetic_vigor, "--model_preset", "NANO",
+        "--epochs", "3", "--steps_per_epoch", "1", "-b", "4",
+        "--checkpoint_dir", ck, "--results_dir", str(tmp_path / "r"),
+        "--num_workers", "2", "--keep_checkpoints", "0",
+    ])
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+
+    steps = CheckpointManager(ck, max_to_keep=None).all_steps()
+    assert steps == [1, 2, 3], steps

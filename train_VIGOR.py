@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument("--n_model", type=int, default=1,
                    help="devices reserved for the model (tensor-parallel) "
                         "mesh axis; the rest form the data axis")
+    p.add_argument("--keep_checkpoints", type=int, default=3,
+                   help="retained checkpoints (0 = keep every step, the "
+                        "reference's keep-all-epochs behavior)")
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="also checkpoint mid-epoch every N steps "
                         "(preemption recovery; 0 = per-epoch only)")
@@ -111,6 +114,7 @@ def main(argv=None):
         param_dtype="bfloat16" if args.bf16_params else "float32",
         remat=args.remat,
         checkpoint_every_steps=args.checkpoint_every_steps,
+        keep_checkpoints=args.keep_checkpoints,
         n_model=args.n_model)
 
     grd_hw, sat_hw = cfg.grd_hw, cfg.sat_hw
