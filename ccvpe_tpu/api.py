@@ -83,9 +83,10 @@ class CVMModel:
             self.params, self.bn_state = params, bn_state
         self._compiled: dict = {}
 
-    def _forward(self, n_bins_offsets, circular: bool | None = None):
+    def _forward(self, n_bins_offsets, circular: bool | None = None,
+                 want_heatmap: bool = True):
         circular = self.cfg.circular if circular is None else circular
-        key = (n_bins_offsets, circular)
+        key = (n_bins_offsets, circular, want_heatmap)
         if key not in self._compiled:
             offsets = (tuple(range(self.cfg.bins)) if n_bins_offsets is None
                        else tuple(range(-n_bins_offsets, n_bins_offsets + 1)))
@@ -98,16 +99,33 @@ class CVMModel:
                                      train=False, loc_offsets=offsets,
                                      matching_impl=self.matching_impl)
                 idx = jnp.arange(out.heatmap.shape[0])
-                hm = out.heatmap[..., 0]
-                flat = jnp.argmax(hm.reshape(hm.shape[0], -1), axis=1)
-                pr, pc = flat // hm.shape[2], flat % hm.shape[2]
-                return {
-                    "row": pr, "col": pc,
-                    "prob": hm[idx, pr, pc],
+                if want_heatmap:
+                    hm = out.heatmap[..., 0]
+                    flat = jnp.argmax(hm.reshape(hm.shape[0], -1), axis=1)
+                    pr = flat // hm.shape[2]
+                    pc = flat % hm.shape[2]
+                    prob = hm[idx, pr, pc]
+                else:
+                    # softmax is monotonic: argmax(logits) == argmax(heatmap)
+                    # and the probability at the argmax is
+                    # exp(l_max - logsumexp(l)) — the full 512^2 heatmap is
+                    # never materialized (XLA dead-code-eliminates it)
+                    logits = out.logits_flattened
+                    w = out.heatmap.shape[2]
+                    flat = jnp.argmax(logits, axis=1)
+                    pr, pc = flat // w, flat % w
+                    lse = jax.scipy.special.logsumexp(
+                        logits.astype(jnp.float32), axis=1)
+                    prob = jnp.exp(
+                        logits[idx, flat].astype(jnp.float32) - lse)
+                res = {
+                    "row": pr, "col": pc, "prob": prob,
                     "cos": out.ori[idx, pr, pc, 0],
                     "sin": out.ori[idx, pr, pc, 1],
-                    "heatmap": hm,
                 }
+                if want_heatmap:
+                    res["heatmap"] = hm
+                return res
 
             self._compiled[key] = fwd
         return self._compiled[key]
@@ -127,7 +145,8 @@ class CVMModel:
                 grd.shape[2] == self.cfg.grd_hw[1]) else grd.shape[2]
             grd = grd[:, :, :w]
             circular = False
-        fwd = self._forward(_ori_noise_to_n(ori_noise), circular)
+        fwd = self._forward(_ori_noise_to_n(ori_noise), circular,
+                            want_heatmap=return_heatmap)
         g = transforms.normalize_images(jnp.asarray(grd))
         s = transforms.normalize_images(jnp.asarray(sat))
         if self.mesh is not None and g.shape[0] % self.mesh.size == 0:

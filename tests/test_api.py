@@ -34,8 +34,8 @@ def test_predict_with_orientation_prior(model):
     p_full = model.predict(grd, sat)
     p_prior = model.predict(grd, sat, ori_noise=0.0)  # single-bin prior
     assert np.isfinite(p_prior.probability)
-    # both compiled variants are cached
-    assert len(model._compiled) == 2
+    # both orientation-prior variants are cached
+    assert {k[0] for k in model._compiled} >= {None, 0}
     # deterministic across calls
     p2 = model.predict(grd, sat)
     assert (p2.row, p2.col) == (p_full.row, p_full.col)
@@ -195,7 +195,7 @@ def test_predict_limited_fov(model):
     assert np.isfinite(pose.probability)
     np.testing.assert_allclose(pose.heatmap.sum(), 1.0, atol=1e-3)
     # a fresh non-circular restricted-bin variant was compiled
-    assert (1, False) in model._compiled
+    assert any(k[:2] == (1, False) for k in model._compiled)
     # pre-cropped input through predict_batch gives the identical pose
     batch = model.predict_batch(grd[None, :, :64], sat[None], fov=180.0,
                                 ori_noise=18.0)
@@ -287,3 +287,19 @@ def test_predict_batch_data_parallel_mesh():
     p1 = sharded.predict(grd[0], sat[0])  # batch 1 on an 8-device mesh
     p2 = single.predict(grd[0], sat[0])
     assert (p1.row, p1.col) == (p2.row, p2.col)
+
+
+def test_no_heatmap_path_matches(model):
+    """return_heatmap=False uses the softmax-free readout (argmax over
+    logits + logsumexp probability): identical pose, equal probability."""
+    rng = np.random.default_rng(11)
+    grd = rng.integers(0, 255, (2, *model.cfg.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (2, *model.cfg.sat_hw, 3), dtype=np.uint8)
+    with_hm = model.predict_batch(grd, sat, return_heatmap=True)
+    without = model.predict_batch(grd, sat, return_heatmap=False)
+    for a, b in zip(with_hm, without):
+        assert (a.row, a.col) == (b.row, b.col)
+        np.testing.assert_allclose(a.probability, b.probability, rtol=1e-4)
+        np.testing.assert_allclose(a.orientation_deg, b.orientation_deg,
+                                   rtol=1e-5)
+        assert b.heatmap is None and a.heatmap is not None
