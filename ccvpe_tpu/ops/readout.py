@@ -21,6 +21,36 @@ def _argmax_rc(maps):
     return flat_idx // w, flat_idx % w
 
 
+def pose_readout_from_outputs(out, gt, gt_orientation):
+    """``pose_readout`` computed from raw model outputs WITHOUT
+    materializing the softmax heatmap (for use inside the eval jit, where
+    XLA then dead-code-eliminates the 512x512 softmax): softmax is
+    monotonic, so the argmax comes from the logits, and the probability at
+    the GT peak is ``exp(l_gt - logsumexp(l))``."""
+    logits = out.logits_flattened
+    w = out.heatmap.shape[2]  # static shape only; no materialization
+    g = gt if gt.ndim == 3 else gt[..., 0]
+    b = logits.shape[0]
+    flat = jnp.argmax(logits, axis=1)
+    pr, pc = flat // w, flat % w
+    gr, gc = _argmax_rc(g)
+    idx = jnp.arange(b)
+    l32 = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(l32, axis=1)
+    ori = out.ori
+    return {
+        "pred_row": pr, "pred_col": pc, "gt_row": gr, "gt_col": gc,
+        "pixel_distance": jnp.sqrt(
+            (gr - pr).astype(jnp.float32) ** 2
+            + (gc - pc).astype(jnp.float32) ** 2),
+        "prob_at_gt": jnp.exp(l32[idx, gr * w + gc] - lse),
+        "cos_pred": ori[idx, pr, pc, 0].astype(jnp.float32),
+        "sin_pred": ori[idx, pr, pc, 1].astype(jnp.float32),
+        "cos_gt": gt_orientation[idx, gr, gc, 0].astype(jnp.float32),
+        "sin_gt": gt_orientation[idx, gr, gc, 1].astype(jnp.float32),
+    }
+
+
 @jax.jit
 def pose_readout(heatmap, ori, gt, gt_orientation):
     """Per-sample pose scalars (all [B]-shaped, NHWC inputs):

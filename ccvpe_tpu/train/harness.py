@@ -215,15 +215,26 @@ class Trainer:
         return pairs / max(time.time() - t0, 1e-9)
 
     # -- eval -------------------------------------------------------------
-    def _get_eval_step(self, loc_offsets):
-        key = tuple(loc_offsets) if loc_offsets is not None else None
+    def _get_eval_step(self, loc_offsets, readout: bool = False):
+        """``readout=True``: the forward is fused with the on-device pose
+        readout (per-sample scalars out; the softmax heatmap is dead code
+        inside the jit)."""
+        key = (tuple(loc_offsets) if loc_offsets is not None else None,
+               readout)
         if key not in self._eval_steps:
-            fn = train_loop.make_eval_step(self.model_cfg, loc_offsets)
             sh = self._state_shardings
-            self._eval_steps[key] = train_loop.compile_eval_step(
-                fn, self.mesh,
+            kw = dict(
                 params_sharding=sh.params if sh is not None else None,
                 bn_sharding=sh.bn_state if sh is not None else None)
+            if readout:
+                fn = train_loop.make_eval_readout_step(self.model_cfg,
+                                                       loc_offsets)
+                self._eval_steps[key] = train_loop.compile_eval_readout_step(
+                    fn, self.mesh, **kw)
+            else:
+                fn = train_loop.make_eval_step(self.model_cfg, loc_offsets)
+                self._eval_steps[key] = train_loop.compile_eval_step(
+                    fn, self.mesh, **kw)
         return self._eval_steps[key]
 
     def evaluate(self, loader, device_batch_fn: Callable, *,
@@ -240,15 +251,13 @@ class Trainer:
         (``ops.readout``) instead of fetching full heatmaps — the streaming
         fast path; identical metrics.
         """
-        from ..ops.readout import pose_readout
-
         assert self.state is not None
         pc = jax.process_count()
         if pc > 1 and not device_readout:
             raise NotImplementedError(
                 "multi-host eval requires device_readout=True (full "
                 "heatmaps of a cross-host global batch are not fetchable)")
-        step = self._get_eval_step(loc_offsets)
+        step = self._get_eval_step(loc_offsets, readout=device_readout)
         acc = PoseErrorAccumulator()
         t0, pairs = time.time(), 0
         # double-buffered readout: fetch batch N's pose scalars while batch
@@ -278,14 +287,15 @@ class Trainer:
             if device_readout:
                 # assemble the GLOBAL batch for every field the readout
                 # touches (multi-host: each process contributes its local
-                # slice), reduce to per-sample pose scalars on device, then
-                # fetch the small global result everywhere
+                # slice), reduce to per-sample pose scalars inside the eval
+                # jit (softmax heatmap never materializes), then fetch the
+                # small global result everywhere
                 grd, sat, gt, omap, mpp_d, head_d = mesh_lib.shard_batch(
                     self.mesh, (batch["grd"], batch["sat"], batch["gt"],
                                 batch["orientation"], mpp_local,
                                 heading_local))
-                out = step(self.state.params, self.state.bn_state, grd, sat)
-                r = dict(pose_readout(out.heatmap, out.ori, gt, omap),
+                r = dict(step(self.state.params, self.state.bn_state, grd,
+                              sat, gt, omap),
                          mpp=mpp_d, heading=head_d)
                 if pending is not None:
                     flush(pending)

@@ -172,6 +172,31 @@ def make_eval_step(model_cfg: cvm.CVMConfig, loc_offsets=None):
     return eval_step
 
 
+def make_eval_readout_step(model_cfg: cvm.CVMConfig, loc_offsets=None):
+    """Eval forward fused with the on-device pose readout: returns the
+    per-sample scalar dict directly, and because the readout works from raw
+    logits, the 512x512 softmax heatmap is dead code inside the jit."""
+    from ..ops.readout import pose_readout_from_outputs
+
+    def eval_step(params, bn_state, grd, sat, gt, omap):
+        out, _ = cvm.forward(model_cfg, params, bn_state, grd, sat,
+                             train=False, loc_offsets=loc_offsets)
+        return pose_readout_from_outputs(out, gt, omap)
+
+    return eval_step
+
+
+def compile_eval_readout_step(eval_step, mesh, params_sharding=None,
+                              bn_sharding=None):
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.data_sharded(mesh)
+    return jax.jit(eval_step,
+                   in_shardings=(params_sharding or repl,
+                                 bn_sharding or repl, data, data, data,
+                                 data),
+                   out_shardings=data)
+
+
 def compile_train_step(train_step, mesh, donate: bool = True,
                        state_shardings=None):
     """Jit a train step over a mesh.
