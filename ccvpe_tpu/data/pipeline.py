@@ -125,32 +125,59 @@ class Loader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        # consumer-gone signal: a consumer that abandons iteration mid-epoch
+        # (early-stop eval, exception in the train loop) sets this, and the
+        # producer's bounded put stops blocking instead of pinning `prefetch`
+        # batches of memory until process exit
+        closed = threading.Event()
+
+        def put(item) -> bool:
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 if self.native_batch:
                     for batch_idx in self._batches():
-                        q.put(self._native_batch_samples(batch_idx))
+                        if not put(self._native_batch_samples(batch_idx)):
+                            return
                     return
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for batch_idx in self._batches():
                         samples = list(pool.map(self.sample_fn, batch_idx))
-                        q.put(collate(samples))
+                        if not put(collate(samples)):
+                            return
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            thread.join()
+        finally:
+            # runs on GeneratorExit too (consumer broke out of the loop):
+            # release the producer, then drain so its pending put unblocks
+            closed.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=30)
 
 
 def epoch_indices(n: int, *, shuffle: bool, rng: np.random.Generator):

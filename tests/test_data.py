@@ -255,6 +255,31 @@ class TestPipeline:
         with pytest.raises(ValueError):
             list(bad)
 
+    def test_loader_abandoned_iteration_releases_producer(self):
+        """Breaking out mid-epoch must unblock and retire the producer
+        thread (bounded-queue put with a consumer-gone signal) instead of
+        pinning `prefetch` batches until process exit."""
+        import threading
+        import time
+
+        def sample(i):
+            return {"x": np.full((4,), i, np.int32)}
+
+        before = {t.ident for t in threading.enumerate()}
+        loader = pipeline.Loader(sample, np.arange(64), batch_size=2,
+                                 num_workers=2, prefetch=2)
+        it = iter(loader)
+        next(it)  # producer is now running and blocking on a full queue
+        it.close()  # abandon mid-epoch (same path as `break` + GC)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            extra = [t for t in threading.enumerate()
+                     if t.ident not in before and t.is_alive()]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, f"producer thread leaked: {extra}"
+
     def test_train_val_split_matches_reference_seed(self):
         """Reference: np.random.seed(0); shuffle; 80/20
         (``train_VIGOR.py:82-91``)."""
