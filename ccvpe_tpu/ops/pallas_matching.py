@@ -45,14 +45,27 @@ def _kernel(x_ref, w_ref, m_ref, g_ref, out_ref, *, full_window: bool):
 
 
 def _pick_tile(hw: int, cs: int, budget_bytes: int = 1 << 21,
-               cap: int = 4096) -> int:
+               cap: int = 4096) -> tuple[int, int]:
+    """Choose the spatial tile and the (possibly padded) grid extent.
+
+    Returns ``(tile, hw_padded)`` with ``hw_padded % tile == 0``.  Prefers an
+    aligned tile that divides ``hw`` exactly; when none exists under the VMEM
+    budget (non-power-of-two custom spatial maps), pads up to the next
+    multiple of the largest in-budget tile instead of falling back to a
+    budget-busting ``tile=hw`` launch — callers zero-pad the input rows and
+    slice the output back.
+    """
     # larger tiles amortize the lane padding of small channel counts; the
     # budget bounds the f32 tile so the kernel's working set fits scoped VMEM
     budget = max(512, min(cap, budget_bytes // max(cs, 1)))
-    for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+    tiles = (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+    for t in tiles:
         if t <= budget and hw % t == 0:
-            return t
-    return hw
+            return t, hw
+    if hw <= budget:
+        return hw, hw
+    t = next(t for t in tiles if t <= budget)
+    return t, -(-hw // t) * t
 
 
 def _auto_interpret(interpret: bool) -> bool:
@@ -69,7 +82,7 @@ def _forward(x, g, shift: int, offsets: tuple[int, ...], window: str,
     start = window_start(cs, cg, window)
     bins = len(offsets)
     hw = h * w_sp
-    tile = _pick_tile(hw, cs)
+    tile, hw_pad = _pick_tile(hw, cs)
     full_window = cg == cs
 
     # banded per-sample descriptor matrix + static window mask (as in the
@@ -84,9 +97,12 @@ def _forward(x, g, shift: int, offsets: tuple[int, ...], window: str,
 
     import functools as _ft
     xf = x.reshape(b, hw, cs)
+    if hw_pad != hw:
+        # zero rows produce 0/0 in the cosine epilogue; sliced off below
+        xf = jnp.pad(xf, ((0, 0), (0, hw_pad - hw), (0, 0)))
     out = pl.pallas_call(
         _ft.partial(_kernel, full_window=full_window),
-        grid=(b, hw // tile),
+        grid=(b, hw_pad // tile),
         in_specs=[
             pl.BlockSpec((1, tile, cs), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -100,7 +116,7 @@ def _forward(x, g, shift: int, offsets: tuple[int, ...], window: str,
         ],
         out_specs=pl.BlockSpec((1, tile, bins), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, bins), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hw_pad, bins), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hw * cs * bins,
             bytes_accessed=b * hw * cs * x.dtype.itemsize
@@ -109,7 +125,7 @@ def _forward(x, g, shift: int, offsets: tuple[int, ...], window: str,
         ),
         interpret=interpret,
     )(xf, wmat.astype(x.dtype), mask.astype(x.dtype), gnorm)
-    return out.reshape(b, h, w_sp, bins)
+    return out[:, :hw].reshape(b, h, w_sp, bins)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -179,7 +195,7 @@ def _forward_fused(x, g, shift: int, offsets: tuple[int, ...], window: str,
     hw = h * w_sp
     # tighter budget than v1: three outputs + two [T,Cs] f32 temporaries
     # share the ~16MB scoped-VMEM stack
-    tile = _pick_tile(hw, cs, budget_bytes=1 << 20, cap=2048)
+    tile, hw_pad = _pick_tile(hw, cs, budget_bytes=1 << 20, cap=2048)
 
     gp = jnp.pad(g, ((0, 0), (0, cs - cg)))
     wmat = jnp.stack(
@@ -189,9 +205,11 @@ def _forward_fused(x, g, shift: int, offsets: tuple[int, ...], window: str,
                              axis=-1))[:, None]
 
     xf = x.reshape(b, hw, cs)
+    if hw_pad != hw:
+        xf = jnp.pad(xf, ((0, 0), (0, hw_pad - hw), (0, 0)))
     scores, smax, xnorm = pl.pallas_call(
         _kernel_fused,
-        grid=(b, hw // tile),
+        grid=(b, hw_pad // tile),
         in_specs=[
             pl.BlockSpec((1, tile, cs), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -209,9 +227,9 @@ def _forward_fused(x, g, shift: int, offsets: tuple[int, ...], window: str,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hw, bins), x.dtype),
-            jax.ShapeDtypeStruct((b, hw, 1), x.dtype),
-            jax.ShapeDtypeStruct((b, hw, cs), x.dtype),
+            jax.ShapeDtypeStruct((b, hw_pad, bins), x.dtype),
+            jax.ShapeDtypeStruct((b, hw_pad, 1), x.dtype),
+            jax.ShapeDtypeStruct((b, hw_pad, cs), x.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hw * cs * bins + 3 * b * hw * cs,
@@ -221,9 +239,9 @@ def _forward_fused(x, g, shift: int, offsets: tuple[int, ...], window: str,
         ),
         interpret=interpret,
     )(xf, wmat.astype(x.dtype), gnorm)
-    return (scores.reshape(b, h, w_sp, bins),
-            smax.reshape(b, h, w_sp, 1),
-            xnorm.reshape(b, h, w_sp, cs))
+    return (scores[:, :hw].reshape(b, h, w_sp, bins),
+            smax[:, :hw].reshape(b, h, w_sp, 1),
+            xnorm[:, :hw].reshape(b, h, w_sp, cs))
 
 
 def _fused_reference(x, g, shift, offsets, window):

@@ -60,6 +60,40 @@ def test_pallas_odd_spatial_tile():
     assert_close(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_pallas_pads_undividable_spatial():
+    """A spatial extent with no in-budget aligned divisor (41x41 at 1280
+    channels exceeds the VMEM row budget) must take the pad-and-slice path,
+    not a VMEM-busting ``tile=hw`` launch."""
+    from ccvpe_tpu.ops.pallas_matching import _pick_tile
+
+    cs = 1280
+    hw = 41 * 41
+    tile, hw_pad = _pick_tile(hw, cs)
+    assert tile < hw and hw_pad % tile == 0 and hw_pad >= hw
+    # within the picker's row budget (tile=hw would be 1681 > 1638)
+    assert tile <= (1 << 21) // cs
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 41, 41, cs)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, cs)), jnp.float32)
+    offsets = tuple(range(20))
+    want = matching_scores(x, g, 64, offsets)
+    got = matching_scores_pallas(x, g, 64, offsets, "first", True)
+    assert not np.isnan(np.asarray(got)).any()
+    assert_close(got, want, atol=1e-5, rtol=1e-5)
+
+    # fused epilogue takes the same pad path
+    from ccvpe_tpu.nn.layers import l2_normalize
+    from ccvpe_tpu.ops.pallas_matching import matching_epilogue_pallas
+
+    s, smax, xnorm = matching_epilogue_pallas(x, g, 64, offsets, "first",
+                                              True)
+    assert_close(s, want, atol=1e-5, rtol=1e-5)
+    assert_close(smax, jnp.max(want, axis=-1, keepdims=True),
+                 atol=1e-5, rtol=1e-5)
+    assert_close(xnorm, l2_normalize(x, axis=-1), atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("cs,shift,bins,window", [
     (1280, 64, 20, "first"),    # VIGOR scale 1
     (256, 16, 16, "first"),     # KITTI-like bin count, small channels
