@@ -172,18 +172,29 @@ class Trainer:
         timer = StepTimer()
         running, t0, n = None, time.time(), 0
         pairs = 0
+        # trace steps 10-12 (past compile + warmup); short epochs trace from
+        # step 0 so `--profile_dir` always produces a capture
+        try:
+            n_batches = len(loader)
+        except TypeError:
+            n_batches = None
+        trace_start = 10 if (n_batches is None or n_batches > 13) else 0
+        tracing = False
+        parts = None
         for i, raw in enumerate(loader):
             timer.start()
-            if self.profile_dir and not self._profiled and i == 10:
+            if self.profile_dir and not self._profiled and i == trace_start:
                 jax.profiler.start_trace(self.profile_dir)
+                tracing = True
             batch = device_batch_fn(raw)
             batch = mesh_lib.shard_batch(self.mesh, batch)
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, parts = train_step(self.state, batch, step_rng)
-            if self.profile_dir and not self._profiled and i == 13:
+            if tracing and i == trace_start + 3:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), parts)
                 jax.profiler.stop_trace()
+                tracing = False
                 self._profiled = True
             # device-side accumulation: no per-step device->host fetch
             loss = parts["loss"]
@@ -201,6 +212,13 @@ class Trainer:
                     self._global_step % self.checkpoint_every_steps == 0):
                 self.ckpt.save(self._global_step, jax.device_get(self.state))
             timer.stop()
+        if tracing:
+            # epoch ended inside the capture window: close the trace
+            if parts is not None:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), parts)
+            jax.profiler.stop_trace()
+            self._profiled = True
         if self.ckpt and self.ckpt.latest_step() != self._global_step:
             # keyed by global step; skip only if a mid-epoch save just
             # landed on this exact step

@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_epoch", type=int, default=0)
     p.add_argument("--checkpoint_dir", type=str, default="")
     p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of train steps 10-13 "
+                        "(or the first steps of short epochs) to this directory")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--native_loader", action="store_true",
                    help="decode whole batches in the C++ thread pool "
@@ -104,6 +107,7 @@ def main(argv=None):
         remat=args.remat,
         checkpoint_every_steps=args.checkpoint_every_steps,
         keep_checkpoints=args.keep_checkpoints,
+        profile_dir=args.profile_dir or None,
         n_model=args.n_model)
 
     root = args.dataset_root
