@@ -83,8 +83,11 @@ def fetch_global(tree):
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
+        # tiled=True: inputs are already-global (non-fully-addressable)
+        # arrays, so "allgather" here means materialize the global value on
+        # every host, not stack a per-process axis
         return jax.tree_util.tree_map(
-            np.asarray, multihost_utils.process_allgather(tree))
+            np.asarray, multihost_utils.process_allgather(tree, tiled=True))
     return jax.device_get(tree)
 
 

@@ -1,0 +1,98 @@
+"""Worker for the real two-process distributed smoke test.
+
+Launched as ``python tests/multiproc_worker.py <pid> <nprocs> <port> <out>``.
+Each process owns ``8 // nprocs`` virtual CPU devices; with ``nprocs > 1``
+``jax.distributed.initialize`` connects them into one 8-device global mesh —
+the exact multi-controller environment a TPU pod run uses, executing the
+multi-host branches (`make_array_from_process_local_data` in
+``parallel.mesh.shard_batch``, ``process_allgather`` in ``fetch_global``,
+``multihost_indices`` in the Loader) for real rather than via single-process
+index math.
+
+Runs 2 global train steps + one device-readout eval through the production
+Trainer and writes the resulting param norm / loss / metric summary as JSON
+(process 0).  The single-process variant (``nprocs=1``) produces the golden
+values; metrics are permutation-invariant over the batch, so the strided
+multi-host input split must reproduce them.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(pid: int, nprocs: int, port: int, out: str) -> None:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={8 // nprocs}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # smoke test: skip expensive XLA passes (2x faster compile; the
+    # dryrun verified numerics are unchanged)
+    jax.config.update("jax_disable_most_optimizations", True)
+    if nprocs > 1:
+        jax.distributed.initialize(f"localhost:{port}",
+                                   num_processes=nprocs, process_id=pid)
+    assert jax.device_count() == 8, jax.devices()
+    assert jax.local_device_count() == 8 // nprocs
+    assert jax.process_count() == nprocs
+
+    import numpy as np
+    import optax
+
+    from ccvpe_tpu.data import pipeline, vigor
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.train.harness import Trainer
+
+    cfg = cvm.NANO
+    n_samples, global_batch = 16, 8
+
+    def sample_fn(i):
+        rng = np.random.default_rng(1000 + int(i))
+        rotation = np.float32(rng.uniform(-0.5, 0.5))
+        return {
+            "grd": rng.integers(0, 255, (*cfg.grd_hw, 3)).astype(np.uint8),
+            "sat": rng.integers(0, 255, (*cfg.sat_hw, 3)).astype(np.uint8),
+            "rotation": rotation,
+            "angle": np.float32(rotation * 360.0),
+            "row_offset": np.float32(rng.uniform(-20, 20)),
+            "col_offset": np.float32(rng.uniform(-20, 20)),
+        }
+
+    dev_train = lambda raw: vigor.device_batch(
+        raw, train=True, sat_hw=cfg.sat_hw, bins=cfg.bins)
+    dev_eval = lambda raw: vigor.device_batch(
+        raw, train=False, sat_hw=cfg.sat_hw, bins=cfg.bins)
+
+    trainer = Trainer(cfg, results_dir=out + f".results{pid}",
+                      batch_size=global_batch, log_every=1)
+    trainer.init_state(seed=7)
+
+    loader = pipeline.Loader(sample_fn, np.arange(n_samples), global_batch,
+                             num_workers=2, multihost=True)
+    trainer.train_epoch(loader, dev_train, epoch=0)
+
+    params = jax.device_get(trainer.state.params)
+    param_norm = float(optax.global_norm(params))
+    step = int(np.asarray(jax.device_get(trainer.state.step)))
+
+    eval_loader = pipeline.Loader(sample_fn, np.arange(n_samples),
+                                  global_batch, num_workers=2,
+                                  multihost=True)
+    summary = trainer.evaluate(eval_loader, dev_eval, meter_per_pixel=0.1)
+    summary.pop("pairs_per_sec", None)
+
+    result = {"param_norm": param_norm, "step": step, "summary": summary,
+              "nprocs": nprocs}
+    if pid == 0:
+        with open(out, "w") as f:
+            json.dump(result, f)
+    print(f"worker {pid}/{nprocs} done: step={step} "
+          f"param_norm={param_norm:.6f}")
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
