@@ -63,6 +63,8 @@ class MicroBatcher:
         self.max_wait_s = max_wait_ms / 1e3
         self.ori_noise = ori_noise
         self.fov = fov
+        self.dispatches = 0     # device batches run (observability/tests)
+        self.items_served = 0   # requests served across those batches
         self._queue: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -106,6 +108,8 @@ class MicroBatcher:
                 poses = self.model.predict_batch(
                     grd, sat, ori_noise=self.ori_noise, fov=self.fov,
                     return_heatmap=want_hm)
+                self.dispatches += 1
+                self.items_served += len(items)
                 for (g, s, rh, event, slot), pose in zip(items, poses):
                     if not rh:
                         pose.heatmap = None
@@ -125,19 +129,56 @@ class PoseService:
     only around the device dispatch; jax execution is thread-safe)."""
 
     def __init__(self, model, preset: str, batch: int = 1,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_batcher_keys: int = 8):
         self.model = model
         self.preset = preset
         self.lock = threading.Lock()
-        # batch > 1: route all /predict traffic (at the server's default
-        # ori_noise/fov) through a micro-batcher; requests that override
-        # ori_noise/fov fall back to the single-pair path
-        self.batcher = (MicroBatcher(model, batch, max_wait_ms)
-                        if batch > 1 else None)
+        # batch > 1: route /predict traffic through one micro-batcher per
+        # (ori_noise, fov) key, created lazily — requests overriding the
+        # defaults still batch among themselves instead of collapsing to the
+        # single-pair path (each key is its own compiled shape, so batchers
+        # cannot be merged).  ``max_batcher_keys`` bounds the number of
+        # worker threads + compiled programs a client mix can create; keys
+        # beyond the cap use the single-pair path.
+        self.batch = batch
+        self.max_wait_ms = max_wait_ms
+        self.max_batcher_keys = max_batcher_keys
+        self.batchers: dict[tuple[float, float], MicroBatcher] | None = (
+            {} if batch > 1 else None)
+        self._batchers_lock = threading.Lock()
+        if self.batchers is not None:  # default key, eagerly
+            self._get_batcher(180.0, 360.0)
         self._stats_lock = threading.Lock()
         self._latencies_ms: list[float] = []  # bounded success window
         self._requests = 0  # cumulative, errors included
         self._errors = 0    # cumulative
+
+    def _get_batcher(self, ori_noise: float, fov: float):
+        """The micro-batcher for this parameter key, lazily created; None
+        when batching is off or the key cap is reached."""
+        if self.batchers is None:
+            return None
+        key = (ori_noise, fov)
+        with self._batchers_lock:
+            b = self.batchers.get(key)
+            if b is None:
+                if len(self.batchers) >= self.max_batcher_keys:
+                    return None
+                b = MicroBatcher(self.model, self.batch, self.max_wait_ms,
+                                 ori_noise=ori_noise, fov=fov)
+                self.batchers[key] = b
+            return b
+
+    @property
+    def batcher(self):
+        """The default-parameter batcher (back-compat accessor)."""
+        return self._get_batcher(180.0, 360.0)
+
+    def stop(self):
+        if self.batchers is not None:
+            with self._batchers_lock:
+                for b in self.batchers.values():
+                    b.stop()
 
     def _record(self, t0: float):
         with self._stats_lock:
@@ -168,7 +209,9 @@ class PoseService:
 
         return {"status": "ok", "preset": self.preset,
                 "device": str(jax.devices()[0]),
-                "batch": self.batcher.batch if self.batcher else 1,
+                "batch": self.batch if self.batchers is not None else 1,
+                "batcher_keys": (sorted(self.batchers)
+                                 if self.batchers is not None else []),
                 "grd_hw": list(self.model.cfg.grd_hw),
                 "sat_hw": list(self.model.cfg.sat_hw)}
 
@@ -191,15 +234,14 @@ class PoseService:
         ori_noise = float(payload.get("ori_noise", 180.0))
         fov = float(payload.get("fov", 360.0))
         return_heatmap = bool(payload.get("return_heatmap", False))
-        if (self.batcher is not None
-                and ori_noise == self.batcher.ori_noise
-                and fov == self.batcher.fov):
+        batcher = self._get_batcher(ori_noise, fov)
+        if batcher is not None:
             cfg = self.model.cfg
             from .api import _prepare
 
-            pose = self.batcher.submit(_prepare(grd, cfg.grd_hw),
-                                       _prepare(sat, cfg.sat_hw),
-                                       return_heatmap)
+            pose = batcher.submit(_prepare(grd, cfg.grd_hw),
+                                  _prepare(sat, cfg.sat_hw),
+                                  return_heatmap)
         else:
             with self.lock:  # one compiled-forward dispatch at a time
                 pose = self.model.predict(grd, sat, ori_noise=ori_noise,
