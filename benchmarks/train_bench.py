@@ -2,7 +2,7 @@
 """Training-step throughput benchmark (single chip).
 
 Usage: python benchmarks/train_bench.py [preset] [batch,batch...] [dtype]
-Env:   CCVPE_TRAIN_BENCH_REMAT=1        rematerialize the backward
+Env:   CCVPE_TRAIN_BENCH_REMAT=1|all|encoder|decoder   remat the backward
        CCVPE_TRAIN_BENCH_BF16_PARAMS=1  bf16-resident weights (f32 master)
 
 Each configuration gets a fresh TrainState (the step donates its input
@@ -23,7 +23,8 @@ def main():
     batches = [int(b) for b in
                (sys.argv[2] if len(sys.argv) > 2 else "8,16").split(",")]
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
-    remat = os.environ.get("CCVPE_TRAIN_BENCH_REMAT") == "1"
+    remat_env = os.environ.get("CCVPE_TRAIN_BENCH_REMAT", "")
+    remat = {"": False, "0": False, "1": True}.get(remat_env, remat_env)
     bf16_params = os.environ.get("CCVPE_TRAIN_BENCH_BF16_PARAMS") == "1"
 
     import jax

@@ -265,7 +265,8 @@ def _sat_descriptor_grid(params, feat):
 def forward(cfg: CVMConfig, params, state, grd, sat, *,
             train: bool = False, rng=None, loc_offsets=None,
             use_reference_matching: bool = False,
-            matching_impl: str = "einsum", remat: bool = False):
+            matching_impl: str = "einsum",
+            remat: bool | str = False):
     """Full CVM forward.
 
     Args:
@@ -279,9 +280,16 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
         formulation (numerics pinning / interpret mode).
       matching_impl: 'einsum' (default), 'pallas' (fused TPU kernel where the
         channel count makes it profitable, einsum elsewhere), or 'reference'.
+      remat: rematerialization scope for the backward pass.  ``False`` saves
+        every activation; ``True``/``"all"`` checkpoints each MBConv block
+        and decoder stage; ``"encoder"`` checkpoints only the two backbone
+        encoders (the deconv tail's large activations stay resident);
+        ``"decoder"`` only the decoder stages.
 
     Returns: (CVMOutputs, new_state)
     """
+    remat_enc = remat in (True, "all", "encoder")
+    remat_dec = remat in (True, "all", "decoder")
     if use_reference_matching or matching_impl == "reference":
         match = matching_scores_reference
     elif matching_impl == "pallas":
@@ -326,14 +334,14 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
 
     grd_feat, _, new_state["grd_efficientnet"] = effnet.b0_apply(
         b0_grd, params["grd_efficientnet"], state["grd_efficientnet"], grd,
-        train=train, rng=rngs[0], remat=remat)
+        train=train, rng=rngs[0], remat=remat_enc)
     descs = [
         _grd_descriptor(params[f"grd_feature_to_descriptor{k+1}"], grd_feat)
         for k in range(N_SCALES)]
 
     sat_feat, ms, new_state["sat_efficientnet"] = effnet.b0_apply(
         b0_sat, params["sat_efficientnet"], state["sat_efficientnet"], sat,
-        train=train, rng=rngs[1], remat=remat)
+        train=train, rng=rngs[1], remat=remat_enc)
     skips = [ms[i] for i in cfg.skip_blocks]
 
     sat_desc = _sat_descriptor_grid(params["sat_feature_to_descriptors"],
@@ -381,7 +389,7 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
             return _double_conv_apply(conv_p, x, c_in, c_out[0],
                                       final_out=c_out[1])
 
-        if remat:
+        if remat_dec:
             loc_stage = jax.checkpoint(loc_stage)
             loc_stage_fused = jax.checkpoint(loc_stage_fused)
         skip = skips[s] if s < 5 else jnp.zeros((), x.dtype)
@@ -413,7 +421,7 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
             return _double_conv_apply(conv_p, y, c_in, c_out[0],
                                       final_out=c_out[1])
 
-        if remat:
+        if remat_dec:
             ori_stage = jax.checkpoint(ori_stage)
         y = ori_stage(y, params[f"deconv{name}_ori"],
                       params[f"conv{name}_ori"],

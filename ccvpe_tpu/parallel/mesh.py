@@ -123,6 +123,43 @@ def tree_shardings(tree, mesh: Mesh, min_size: int = 100_000):
     return jax.tree_util.tree_map(rule, tree)
 
 
+def zero1_state_shardings(state, mesh: Mesh, min_size: int = 100_000):
+    """ZeRO-1: shard the optimizer state over the DATA axis.
+
+    Params/BN stay replicated (pure-DP compute is unchanged), but every
+    large optimizer-state tensor — Adam moments and, under
+    ``with_f32_master``, the f32 master copy — is sharded along its largest
+    ``n_data``-divisible axis.  GSPMD then partitions the Adam update and
+    all-gathers only the final weight delta, so per-device optimizer HBM
+    reads/writes drop ~``n_data``x and each device frees ~(2-3)x params of
+    resident HBM.  Composes with the ``model``-axis rule from
+    ``tree_shardings`` (an axis already model-sharded is left alone).
+
+    Takes/returns a ``TrainState``-shaped pytree: input is the state (for
+    shapes), output is the matching tree of NamedShardings.
+    """
+    base = tree_shardings(state, mesh, min_size)
+    n_data = mesh.shape[DATA_AXIS]
+    if n_data == 1:
+        return base
+
+    def opt_rule(leaf, cur):
+        shape = getattr(leaf, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        if len(shape) >= 1 and size >= min_size:
+            spec = list(cur.spec) if cur.spec else []
+            spec += [None] * (len(shape) - len(spec))
+            for ax in sorted(range(len(shape)), key=lambda a: -shape[a]):
+                if spec[ax] is None and shape[ax] % n_data == 0:
+                    spec[ax] = DATA_AXIS
+                    return NamedSharding(mesh, P(*spec))
+        return cur
+
+    new_opt = jax.tree_util.tree_map(opt_rule, state.opt_state,
+                                     base.opt_state)
+    return base._replace(opt_state=new_opt)
+
+
 def shard_tree(mesh: Mesh, tree, min_size: int = 100_000):
     """Place a state pytree according to ``tree_shardings``."""
     shardings = tree_shardings(tree, mesh, min_size)

@@ -39,16 +39,22 @@ class Trainer:
                  checkpoint_dir: str | None = None, results_dir: str = "results",
                  label: str = "run", log_every: int = 200, seed: int = 17,
                  batch_size: int | None = None, profile_dir: str | None = None,
-                 compute_dtype: str = "float32", remat: bool = False,
+                 compute_dtype: str = "float32", remat: bool | str = False,
                  checkpoint_every_steps: int = 0,
                  param_dtype: str = "float32",
                  matching_impl: str = "einsum",
                  n_model: int = 1,
-                 keep_checkpoints: int | None = 3):
+                 keep_checkpoints: int | None = 3,
+                 zero1: bool = False):
         """``n_model > 1`` reserves that many devices for the model axis:
         large weights and their optimizer moments are tensor-sharded via
         ``parallel.mesh.tree_shardings`` and GSPMD partitions the matmuls —
-        hybrid data+tensor parallelism from any CLI (``--n_model``)."""
+        hybrid data+tensor parallelism from any CLI (``--n_model``).
+
+        ``zero1=True`` shards the optimizer state (Adam moments, f32
+        master) over the data axis (``parallel.mesh.zero1_state_shardings``)
+        — cuts per-device optimizer HBM traffic and residency ~n_data x on
+        multi-chip meshes; no-op on a single device."""
         self.model_cfg = model_cfg
         if mesh is None:
             # the batch shards over the whole mesh (see mesh.data_sharded),
@@ -107,19 +113,25 @@ class Trainer:
         # preemption recovery: checkpoint mid-epoch every N steps (0 = per
         # epoch only, the reference's cadence)
         self.checkpoint_every_steps = checkpoint_every_steps
+        self.zero1 = zero1
         self._global_step = 0
 
     # -- state ------------------------------------------------------------
     def _place_state(self, state):
         """Place a host-side TrainState on the mesh: replicated for pure DP,
-        tensor-sharded over the model axis otherwise."""
-        if self.n_model > 1:
+        tensor-sharded over the model axis and/or ZeRO-1-sharded over the
+        data axis otherwise."""
+        if self.zero1:
+            self._state_shardings = mesh_lib.zero1_state_shardings(
+                state, self.mesh)
+        elif self.n_model > 1:
             self._state_shardings = mesh_lib.tree_shardings(state, self.mesh)
-            self.state = jax.tree_util.tree_map(jax.device_put, state,
-                                                self._state_shardings)
         else:
             self._state_shardings = None
             self.state = mesh_lib.replicate(self.mesh, state)
+            return self.state
+        self.state = jax.tree_util.tree_map(jax.device_put, state,
+                                            self._state_shardings)
         return self.state
 
     def init_state(self, seed: int = 17, pretrained_b0: str | None = None):

@@ -119,16 +119,18 @@ def train_state_from_torch(state_dict, optimizer,
 
 def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
                     weight_info_nce: float = 1e4, weight_ori: float = 1e1,
-                    remat: bool = False, compute_dtype=jnp.float32,
+                    remat: bool | str = False, compute_dtype=jnp.float32,
                     matching_impl: str = "einsum"):
     """Build the jittable train step.
 
     batch dict (NHWC): grd, sat, gt [B,H,W], bin_weights [B,bins],
     orientation [B,H,W,2]  (factored GT; see losses.total_loss).
 
-    ``remat=True`` rematerializes the forward in the backward pass
+    ``remat`` rematerializes the forward in the backward pass
     (``jax.checkpoint``), trading FLOPs for activation memory — the lever for
-    scaling per-chip batch on HBM-limited chips.
+    scaling per-chip batch on HBM-limited chips.  ``True``/``"all"``
+    checkpoints every block and stage; ``"encoder"``/``"decoder"`` restrict
+    the scope (see ``models.cvm.forward``).
 
     ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16
     (f32 master weights and f32 loss math; ~1.5x step throughput on v5e).

@@ -109,6 +109,69 @@ def test_hybrid_tensor_parallel_matches_single_device(tiny_setup):
             assert abs(a - b) < tol * max(1.0, abs(a)), (i, k, a, b)
 
 
+def test_zero1_matches_replicated(tiny_setup):
+    """ZeRO-1 data-axis sharding of the optimizer state is a layout choice:
+    two train steps must reproduce the replicated-state numerics (loss,
+    grad norm), while the Adam moments are actually sharded over 'data'."""
+    cfg, opt, state0, batch = tiny_setup
+    step = train_loop.make_train_step(cfg, opt)
+
+    mesh = mesh_lib.create_mesh()  # 8-way data
+    repl_step = train_loop.compile_train_step(step, mesh, donate=False)
+    s_repl = mesh_lib.replicate(mesh, state0)
+    batch_s = mesh_lib.shard_batch(mesh, batch)
+    parts_repl = []
+    for i in range(2):
+        s_repl, p = repl_step(s_repl, batch_s, jax.random.PRNGKey(50 + i))
+        parts_repl.append(jax.device_get(p))
+
+    shardings = mesh_lib.zero1_state_shardings(state0, mesh, min_size=1000)
+    n_sharded = sum(
+        1 for sh in jax.tree_util.tree_leaves(shardings.opt_state)
+        if mesh_lib.DATA_AXIS in str(sh.spec))
+    assert n_sharded > 0, "ZeRO-1 rule sharded nothing"
+    # params stay replicated (pure-DP compute unchanged)
+    assert all(sh.spec == () or all(a is None for a in sh.spec)
+               for sh in jax.tree_util.tree_leaves(shardings.params))
+    s_z = jax.tree_util.tree_map(jax.device_put, state0, shardings)
+    z_step = train_loop.compile_train_step(step, mesh, donate=False,
+                                           state_shardings=shardings)
+    for i in range(2):
+        s_z, p = z_step(s_z, batch_s, jax.random.PRNGKey(50 + i))
+        p = jax.device_get(p)
+        for k in parts_repl[i]:
+            a, b = float(parts_repl[i][k]), float(p[k])
+            tol = 1e-3 if k == "grad_norm" else 1e-4
+            assert abs(a - b) < tol * max(1.0, abs(a)), (i, k, a, b)
+    # final states agree too (the all-gathered updates are identical)
+    pr = jax.device_get(s_repl.params)
+    pz = jax.device_get(s_z.params)
+    err = jax.tree_util.tree_map(
+        lambda x, y: float(np.max(np.abs(x - y))), pr, pz)
+    assert max(jax.tree_util.tree_leaves(err)) < 1e-5
+
+
+def test_trainer_zero1_end_to_end(tiny_setup, tmp_path):
+    """Trainer(zero1=True) end to end: train a step + evaluate (the CLI
+    --zero1 path)."""
+    from ccvpe_tpu.train.harness import Trainer
+
+    cfg, _, _, batch = tiny_setup
+    raw = jax.device_get(batch)
+    tr = Trainer(cfg, results_dir=str(tmp_path / "results"), batch_size=8,
+                 zero1=True, log_every=1)
+    tr.init_state(seed=5)
+    assert tr._state_shardings is not None
+    n_sharded = sum(
+        1 for sh in jax.tree_util.tree_leaves(tr._state_shardings.opt_state)
+        if mesh_lib.DATA_AXIS in str(sh.spec))
+    assert n_sharded > 0
+    tr.train_epoch([raw], lambda r: r, epoch=0)
+    assert int(jax.device_get(tr.state.step)) == 1
+    summary = tr.evaluate([raw], lambda r: r, meter_per_pixel=1.0)
+    assert np.isfinite(summary["mean_distance_m"])
+
+
 def test_trainer_n_model_end_to_end(tiny_setup, tmp_path):
     """Trainer(n_model=2) builds the hybrid mesh, shards the state, trains a
     step, and evaluates — the CLI --n_model path end to end."""

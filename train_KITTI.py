@@ -51,6 +51,9 @@ def parse_args(argv=None):
                    help="run the aerial alignment chain batched on device "
                         "for training (host only decodes); eval keeps the "
                         "bit-faithful host path")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard optimizer state (Adam moments, f32 "
+                        "master) over the data axis")
     p.add_argument("--n_model", type=int, default=1,
                    help="devices reserved for the model (tensor-parallel) "
                         "mesh axis; the rest form the data axis")
@@ -69,8 +72,11 @@ def parse_args(argv=None):
                         "the optimizer state)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (f32 master weights)")
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize the forward in the backward pass")
+    p.add_argument("--remat", nargs="?", const="all", default="",
+                   choices=("all", "encoder", "decoder"),
+                   help="rematerialize the forward in the backward pass; "
+                        "bare --remat checkpoints every block+stage, "
+                        "--remat encoder/decoder restricts the scope")
     p.add_argument("--cache_dir", type=str, default="",
                    help="build/use preprocessed uint8 array caches (ground "
                         "at model size, satmaps raw) for decode-free input "
@@ -104,10 +110,11 @@ def main(argv=None):
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         param_dtype="bfloat16" if args.bf16_params else "float32",
-        remat=args.remat,
+        remat=args.remat or False,
         checkpoint_every_steps=args.checkpoint_every_steps,
         keep_checkpoints=args.keep_checkpoints,
         profile_dir=args.profile_dir or None,
+        zero1=args.zero1,
         n_model=args.n_model)
 
     root = args.dataset_root

@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--test_model_path", type=str,
                    default="models/OxfordRobotCar/model.pt")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard optimizer state (Adam moments, f32 "
+                        "master) over the data axis")
     p.add_argument("--n_model", type=int, default=1,
                    help="devices reserved for the model (tensor-parallel) "
                         "mesh axis; the rest form the data axis")
@@ -59,8 +62,11 @@ def parse_args(argv=None):
                         "the optimizer state)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (f32 master weights)")
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize the forward in the backward pass")
+    p.add_argument("--remat", nargs="?", const="all", default="",
+                   choices=("all", "encoder", "decoder"),
+                   help="rematerialize the forward in the backward pass; "
+                        "bare --remat checkpoints every block+stage, "
+                        "--remat encoder/decoder restricts the scope")
     p.add_argument("--cache_dir", type=str, default="",
                    help="build/use a preprocessed uint8 cache of the ground "
                         "frames (the aerial side is already one in-memory "
@@ -97,10 +103,11 @@ def main(argv=None):
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         param_dtype="bfloat16" if args.bf16_params else "float32",
-        remat=args.remat,
+        remat=args.remat or False,
         checkpoint_every_steps=args.checkpoint_every_steps,
         keep_checkpoints=args.keep_checkpoints,
         profile_dir=args.profile_dir or None,
+        zero1=args.zero1,
         n_model=args.n_model)
 
     dev_train = lambda raw: oxford.device_batch(

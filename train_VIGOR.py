@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument("--cache_dir", type=str, default="",
                    help="build/use preprocessed uint8 array caches "
                         "(decode-free input streaming)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard optimizer state (Adam moments, f32 "
+                        "master) over the data axis")
     p.add_argument("--n_model", type=int, default=1,
                    help="devices reserved for the model (tensor-parallel) "
                         "mesh axis; the rest form the data axis")
@@ -79,8 +82,11 @@ def parse_args(argv=None):
     p.add_argument("--bf16_params", action="store_true",
                    help="store resident weights in bfloat16 (f32 master in "
                         "the optimizer state; frees weight HBM)")
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize the forward in the backward pass")
+    p.add_argument("--remat", nargs="?", const="all", default="",
+                   choices=("all", "encoder", "decoder"),
+                   help="rematerialize the forward in the backward pass; "
+                        "bare --remat checkpoints every block+stage, "
+                        "--remat encoder/decoder restricts the scope")
     p.add_argument("--model_preset", type=str, default="VIGOR")
     return p.parse_args(argv)
 
@@ -115,10 +121,11 @@ def main(argv=None):
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         param_dtype="bfloat16" if args.bf16_params else "float32",
-        remat=args.remat,
+        remat=args.remat or False,
         checkpoint_every_steps=args.checkpoint_every_steps,
         keep_checkpoints=args.keep_checkpoints,
         profile_dir=args.profile_dir or None,
+        zero1=args.zero1,
         n_model=args.n_model)
 
     grd_hw, sat_hw = cfg.grd_hw, cfg.sat_hw
