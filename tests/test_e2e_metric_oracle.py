@@ -12,6 +12,7 @@ released-checkpoint stand-in available offline (VERDICT r2 item 1).
 Reference loops mirrored verbatim:
   VIGOR:  /root/reference/train_VIGOR.py:265-338
   KITTI:  /root/reference/train_KITTI.py:296-360
+  Oxford: /root/reference/train_OxfordRobotCar.py:209-266 (x3 traversals)
 """
 
 import math
@@ -347,3 +348,123 @@ def test_kitti_e2e_metric_oracle(ref_env, kitti_fullsize_root, tmp_path):
     # test2 is the same file list -> identical summary
     np.testing.assert_allclose(results["test2"]["mean_distance_m"],
                                got["mean_distance_m"], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Oxford RobotCar
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def oxford_root(tmp_path_factory):
+    """Synthetic Oxford root: one stitched map + 6 test frames split over
+    the 3 traversal files (reference ``datasets.py:217-244``)."""
+    root = str(tmp_path_factory.mktemp("oxford_e2e")) + "/"
+    _write_img(root + "satellite_map_new.png", (2400, 2400), 9)
+    n = 6
+    lines = [f"g{i}.png 0 {619400 + 30 * i}.0 {5735300 + 20 * i}.0"
+             for i in range(n)]
+    for i, t in enumerate(("test1_j.txt", "test2_j.txt", "test3_j.txt")):
+        with open(root + t, "w") as f:
+            f.write("\n".join(lines[2 * i:2 * i + 2]) + "\n")
+    np.save(root + "test_yaw.npy", np.linspace(0.2, 5, n))
+    for i in range(n):
+        _write_img(root + f"g{i}.png", (77, 115), 20 + i)
+    return root
+
+
+def test_oxford_e2e_metric_oracle(ref_env, oxford_root, tmp_path):
+    torch, rm, ref_datasets = ref_env
+    from torch.utils.data import DataLoader, Subset
+
+    root = oxford_root
+    torch.manual_seed(17)
+    model = rm.CVM_OxfordRobotCar("cpu")
+    model.eval()
+    pt_path = str(tmp_path / "model_oxford.pt")
+    torch.save(model.state_dict(), pt_path)
+
+    ds = ref_datasets.OxfordRobotCarDataset(
+        root, root + "satellite_map_new.png", split="test",
+        transform=(_torch_transform(torch, (154, 231)),
+                   _torch_transform(torch, (512, 512))))
+    assert ds.grdNum == 6
+    bounds = [0, ds.test1_len, ds.test1_len + ds.test2_len, ds.grdNum]
+    mpp = 0.09240351462361521  # train_OxfordRobotCar.py:204
+
+    def ref_traversal_metrics(lo, hi):
+        loader = DataLoader(Subset(ds, np.arange(lo, hi)), batch_size=2,
+                            shuffle=False)
+        dist_px, lon_px, lat_px, ori_err = [], [], [], []
+        with torch.no_grad():
+            for data in loader:  # train_OxfordRobotCar.py:209-246
+                grd, sat, gt, gt_with_ori, gt_orientation, angle = data
+                heatmap_t, ori_t = model(grd, sat)[1:3]
+                gt_np = gt.numpy()
+                ang_np = angle.numpy()
+                gt_ori_np = gt_orientation.numpy()
+                heatmap = heatmap_t.numpy()
+                ori = ori_t.numpy()
+                for b in range(gt_np.shape[0]):
+                    cur_gt = gt_np[b]
+                    loc_gt = np.unravel_index(cur_gt.argmax(), cur_gt.shape)
+                    cur_pred = heatmap[b]
+                    loc_pred = np.unravel_index(cur_pred.argmax(),
+                                                cur_pred.shape)
+                    pix = np.sqrt((loc_gt[1] - loc_pred[1]) ** 2
+                                  + (loc_gt[2] - loc_pred[2]) ** 2)
+                    dist_px.append(pix)
+                    gt2pred = np.arctan2(abs(loc_gt[2] - loc_pred[2]),
+                                         abs(loc_gt[1] - loc_pred[1])) \
+                        * 180 / math.pi
+                    angle_diff = np.abs(ang_np[b] - gt2pred)
+                    lon_px.append(abs(np.cos(angle_diff * np.pi / 180) * pix))
+                    lat_px.append(abs(np.sin(angle_diff * np.pi / 180) * pix))
+                    cos_p, sin_p = ori[b, :, loc_pred[1], loc_pred[2]]
+                    if abs(cos_p) <= 1 and abs(sin_p) <= 1:
+                        ang_p = _recover_angle(cos_p, sin_p)
+                        cos_g, sin_g = gt_ori_np[b, :, loc_gt[1], loc_gt[2]]
+                        ang_g = _recover_angle(cos_g, sin_g)
+                        d = abs(ang_g - ang_p)
+                        ori_err.append(min(d, 360 - d))
+        scale = mpp / 512 * 800
+        lon_m, lat_m = np.asarray(lon_px) * scale, np.asarray(lat_px) * scale
+        ori_err = np.asarray(ori_err)
+        out = {
+            "mean_distance_m": np.mean(dist_px) * scale,
+            "median_distance_m": np.median(dist_px) * scale,
+            "mean_longitudinal_m": np.mean(lon_m),
+            "median_longitudinal_m": np.median(lon_m),
+            "mean_lateral_m": np.mean(lat_m),
+            "median_lateral_m": np.median(lat_m),
+            "mean_orientation_deg": np.mean(ori_err),
+            "median_orientation_deg": np.median(ori_err),
+        }
+        for t in (1, 3, 5):
+            out[f"longitudinal_recall@{t}m"] = np.sum(lon_m < t) / len(lon_m)
+            out[f"lateral_recall@{t}m"] = np.sum(lat_m < t) / len(lat_m)
+            out[f"orientation_recall@{t}deg"] = (np.sum(ori_err < t)
+                                                 / len(ori_err))
+        return out
+
+    want = {f"test{t + 1}": ref_traversal_metrics(bounds[t], bounds[t + 1])
+            for t in range(3)}
+
+    import train_OxfordRobotCar
+
+    results = train_OxfordRobotCar.main([
+        "--grd_image_root", root,
+        "--training", "False",
+        "-b", "2",
+        "--test_model_path", pt_path,
+        "--results_dir", str(tmp_path / "res"),
+        "--checkpoint_dir", str(tmp_path / "ck"),
+        "--num_workers", "2",
+    ])
+    for trav, wanted in want.items():
+        got = results[trav]
+        for key, val in wanted.items():
+            np.testing.assert_allclose(
+                got[key], val, rtol=2e-3, atol=2e-3,
+                err_msg=f"{trav} metric {key}: reference {val} vs "
+                        f"framework {got[key]}")
