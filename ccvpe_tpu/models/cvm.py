@@ -288,6 +288,10 @@ def forward(cfg: CVMConfig, params, state, grd, sat, *,
 
     Returns: (CVMOutputs, new_state)
     """
+    if remat not in (False, True, "all", "encoder", "decoder"):
+        raise ValueError(
+            f"remat must be False/True/'all'/'encoder'/'decoder', got "
+            f"{remat!r}")  # a typo'd scope must not silently disable remat
     remat_enc = remat in (True, "all", "encoder")
     remat_dec = remat in (True, "all", "decoder")
     if use_reference_matching or matching_impl == "reference":

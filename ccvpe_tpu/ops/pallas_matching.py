@@ -64,8 +64,12 @@ def _pick_tile(hw: int, cs: int, budget_bytes: int = 1 << 21,
             return t, hw
     if hw <= budget:
         return hw, hw
-    t = next(t for t in tiles if t <= budget)
-    return t, -(-hw // t) * t
+    # minimize padded extent among in-budget tiles (largest on ties: fewer
+    # grid steps) — e.g. hw=1025 at budget 1024 pads to 1032 with t=8, not
+    # to 2048 with t=1024
+    best = min((t for t in tiles if t <= budget),
+               key=lambda t: (-(-hw // t) * t, -t))
+    return best, -(-hw // best) * best
 
 
 def _auto_interpret(interpret: bool) -> bool:

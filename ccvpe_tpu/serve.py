@@ -207,11 +207,12 @@ class PoseService:
     def info(self) -> dict:
         import jax
 
+        with self._batchers_lock:  # racing lazy creation in _get_batcher
+            keys = sorted(self.batchers) if self.batchers is not None else []
         return {"status": "ok", "preset": self.preset,
                 "device": str(jax.devices()[0]),
                 "batch": self.batch if self.batchers is not None else 1,
-                "batcher_keys": (sorted(self.batchers)
-                                 if self.batchers is not None else []),
+                "batcher_keys": keys,
                 "grd_hw": list(self.model.cfg.grd_hw),
                 "sat_hw": list(self.model.cfg.sat_hw)}
 
@@ -233,6 +234,11 @@ class PoseService:
         sat = _decode_image(payload["sat"])
         ori_noise = float(payload.get("ori_noise", 180.0))
         fov = float(payload.get("fov", 360.0))
+        # NaN would defeat the batcher-key dict (NaN != NaN -> one fresh
+        # worker thread + compile per request until the key cap)
+        if not (math.isfinite(ori_noise) and math.isfinite(fov)):
+            raise ValueError(
+                f"ori_noise/fov must be finite, got {ori_noise}/{fov}")
         return_heatmap = bool(payload.get("return_heatmap", False))
         batcher = self._get_batcher(ori_noise, fov)
         if batcher is not None:

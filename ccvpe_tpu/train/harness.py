@@ -148,11 +148,17 @@ class Trainer:
                                                   param_dtype=self.param_dtype)
         return self._place_state(state)
 
+    def _host_state(self):
+        """Host copy of the TrainState for checkpointing.  Plain device_get
+        works for replicated state but raises for ZeRO-1/TP shardings that
+        span other hosts' devices; fetch_global gathers those."""
+        return mesh_lib.fetch_global(self.state)
+
     def resume(self):
         if self.ckpt and self.ckpt.latest_step() is not None:
             if self.state is None:
                 self.init_state()
-            state = self.ckpt.restore(jax.device_get(self.state))
+            state = self.ckpt.restore(self._host_state())
             self._place_state(state)
             self._global_step = int(jax.device_get(self.state.step))
             return True
@@ -222,7 +228,7 @@ class Trainer:
                 running, n = None, 0
             if (self.ckpt and self.checkpoint_every_steps and
                     self._global_step % self.checkpoint_every_steps == 0):
-                self.ckpt.save(self._global_step, jax.device_get(self.state))
+                self.ckpt.save(self._global_step, self._host_state())
             timer.stop()
         if tracing:
             # epoch ended inside the capture window: close the trace
@@ -234,8 +240,7 @@ class Trainer:
         if self.ckpt and self.ckpt.latest_step() != self._global_step:
             # keyed by global step; skip only if a mid-epoch save just
             # landed on this exact step
-            self.ckpt.save(self._global_step, jax.device_get(self.state),
-                           wait=True)
+            self.ckpt.save(self._global_step, self._host_state(), wait=True)
         stats = timer.summary()
         if stats:
             # host-cadence times: most steps are async dispatch + data load;

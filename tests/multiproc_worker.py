@@ -67,17 +67,27 @@ def run(pid: int, nprocs: int, port: int, out: str) -> None:
     dev_eval = lambda raw: vigor.device_batch(
         raw, train=False, sat_hw=cfg.sat_hw, bins=cfg.bins)
 
+    # zero1=True: the optimizer state shards over a data axis spanning BOTH
+    # processes — exercises the sharded-state train step and the
+    # fetch_global-based host gather (checkpointing path) under a real
+    # multi-host layout; numerics-neutral vs the replicated single-process
+    # golden run (tests/test_train.py::test_zero1_matches_replicated)
     trainer = Trainer(cfg, results_dir=out + f".results{pid}",
-                      batch_size=global_batch, log_every=1)
+                      batch_size=global_batch, log_every=1,
+                      zero1=nprocs > 1)
     trainer.init_state(seed=7)
 
     loader = pipeline.Loader(sample_fn, np.arange(n_samples), global_batch,
                              num_workers=2, multihost=True)
     trainer.train_epoch(loader, dev_train, epoch=0)
 
-    params = jax.device_get(trainer.state.params)
-    param_norm = float(optax.global_norm(params))
-    step = int(np.asarray(jax.device_get(trainer.state.step)))
+    # the checkpointing host-gather: device_get would raise on the ZeRO-1
+    # shards living on the other process's devices
+    host_state = trainer._host_state()
+    param_norm = float(optax.global_norm(host_state.params))
+    opt_norm = float(optax.global_norm(host_state.opt_state))
+    assert np.isfinite(opt_norm)
+    step = int(np.asarray(host_state.step))
 
     eval_loader = pipeline.Loader(sample_fn, np.arange(n_samples),
                                   global_batch, num_workers=2,

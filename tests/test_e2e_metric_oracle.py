@@ -89,20 +89,23 @@ def vigor_fullsize_root(tmp_path_factory):
     pixels."""
     root = str(tmp_path_factory.mktemp("vigor_e2e"))
     rng = np.random.default_rng(7)
-    for city in ["NewYork", "Seattle", "SanFrancisco", "Chicago"]:
+    # str hash() is salted per process (PYTHONHASHSEED) — seed images by a
+    # deterministic counter so the parity inputs reproduce across runs
+    for ci, city in enumerate(["NewYork", "Seattle", "SanFrancisco",
+                               "Chicago"]):
         sats = [f"s{i}.png" for i in range(3)]
         os.makedirs(os.path.join(root, "splits_new", city), exist_ok=True)
         with open(os.path.join(root, "splits_new", city,
                                "satellite_list.txt"), "w") as f:
             f.write("\n".join(sats) + "\n")
-        for s in sats:
+        for si, s in enumerate(sats):
             _write_img(os.path.join(root, city, "satellite", s), (512, 512),
-                       abs(hash(city + s)) % 1000)
+                       1000 + 10 * ci + si)
         lines = []
         for j in range(2):
             pano = f"p{j}.png"
             _write_img(os.path.join(root, city, "panorama", pano), (320, 640),
-                       abs(hash(city)) % 1000 + j)
+                       2000 + 10 * ci + j)
             fields = [pano]
             for k in range(4):
                 fields += [sats[(j + k) % 3],

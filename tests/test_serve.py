@@ -160,6 +160,24 @@ def test_micro_batcher_mixed_parameters_batch_per_key():
     service.stop()
 
 
+def test_non_finite_parameters_rejected():
+    """NaN ori_noise/fov must be rejected, not become a batcher key
+    (NaN != NaN would spawn a fresh worker+compile per request)."""
+    import jax
+    import pytest
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(8), cvm.NANO))
+    service = serve.PoseService(model, "NANO", batch=2, max_wait_ms=5.0)
+    rng = np.random.default_rng(8)
+    grd = rng.integers(0, 255, (*cvm.NANO.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (*cvm.NANO.sat_hw, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="finite"):
+        service.predict({"grd": _b64_png(grd), "sat": _b64_png(sat),
+                         "ori_noise": float("nan")})
+    assert list(service.batchers) == [(180.0, 360.0)]
+    service.stop()
+
+
 def test_micro_batcher_key_cap_falls_back():
     """Beyond max_batcher_keys distinct parameter keys, requests use the
     single-pair path instead of spawning unbounded workers/compiles."""

@@ -411,3 +411,13 @@ def test_evaluate_device_and_host_readout_agree(tiny_setup, tmp_path):
             continue
         assert abs(dev[k] - host[k]) < 1e-4 * max(1.0, abs(host[k])), (
             k, dev[k], host[k])
+
+
+def test_remat_scope_typo_rejected(tiny_setup):
+    """A typo'd remat scope must error, not silently disable remat."""
+    import pytest
+
+    cfg, opt, state, batch = tiny_setup
+    step = train_loop.make_train_step(cfg, opt, remat="encoders")
+    with pytest.raises(ValueError, match="remat"):
+        jax.eval_shape(step, state, batch, jax.random.PRNGKey(0))
