@@ -89,6 +89,18 @@ def run(pid: int, nprocs: int, port: int, out: str) -> None:
     assert np.isfinite(opt_norm)
     step = int(np.asarray(host_state.step))
 
+    # checkpoint round-trip on a shared directory: orbax coordinates the
+    # write across processes (primary writes, all barrier); restore must
+    # reproduce the gathered state
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(out + ".ck", max_to_keep=1)
+    ck.save(step, host_state, wait=True)
+    restored = ck.restore(host_state)
+    r_norm = float(optax.global_norm(restored.params))
+    assert abs(r_norm - param_norm) < 1e-6 * max(param_norm, 1.0), (
+        f"checkpoint round-trip norm {r_norm} != {param_norm}")
+
     eval_loader = pipeline.Loader(sample_fn, np.arange(n_samples),
                                   global_batch, num_workers=2,
                                   multihost=True)
