@@ -204,6 +204,79 @@ def test_vigor_e2e_metric_oracle(ref_env, vigor_fullsize_root, tmp_path):
             err_msg=f"metric {key}: reference {val} vs framework {got[key]}")
 
 
+def test_vigor_fov180_e2e_metric_oracle(ref_env, vigor_fullsize_root,
+                                        tmp_path):
+    """Limited-FoV eval (BASELINE 'unknown orientation, HFoV 180'): the
+    reference crops the panorama width to FoV/360 and disables circular
+    padding (``train_VIGOR.py:52-55,272-273``); the CLI's --FoV path must
+    reproduce the same metric dict."""
+    torch, rm, ref_datasets = ref_env
+    from torch.utils.data import DataLoader
+
+    root = vigor_fullsize_root
+    n = 8
+    frozen = np.linspace(10, 340, n)
+    odir = tmp_path / "orient"
+    odir.mkdir()
+    np.save(odir / "samearea_orientation_test.npy", frozen)
+
+    torch.manual_seed(23)
+    model = rm.CVM_VIGOR_ori_prior("cpu", 180, circular_padding=False)
+    model.eval()
+    pt_path = str(tmp_path / "model_fov.pt")
+    torch.save(model.state_dict(), pt_path)
+
+    ds = ref_datasets.VIGORDataset(
+        root=root, split="samearea", train=False, pos_only=True,
+        transform=(_torch_transform(torch, (320, 640)),
+                   _torch_transform(torch, (512, 512))),
+        ori_noise=180, random_orientation=frozen)
+    loader = DataLoader(ds, batch_size=4, shuffle=False)
+
+    distance_in_meters, probability_at_gt = [], []
+    mpp = {"NewYork": 0.113248, "Seattle": 0.100817,
+           "SanFrancisco": 0.118141, "Chicago": 0.111262}
+    with torch.no_grad():
+        for data in loader:
+            grd, sat, gt, _gwo, _gto, city, _angle = data
+            grd_width = int(grd.size()[3] * 180 / 360)  # :272-273
+            heatmap = model(grd[:, :, :, :grd_width], sat)[1].numpy()
+            gt_np = gt.numpy()
+            for b in range(gt_np.shape[0]):
+                cur_gt = gt_np[b]
+                loc_gt = np.unravel_index(cur_gt.argmax(), cur_gt.shape)
+                cur_pred = heatmap[b]
+                loc_pred = np.unravel_index(cur_pred.argmax(), cur_pred.shape)
+                pix = np.sqrt((loc_gt[1] - loc_pred[1]) ** 2
+                              + (loc_gt[2] - loc_pred[2]) ** 2)
+                distance_in_meters.append(pix * mpp[city[b]] / 512 * 640)
+                probability_at_gt.append(heatmap[b, 0, loc_gt[1], loc_gt[2]])
+
+    import train_VIGOR
+
+    got = train_VIGOR.main([
+        "--dataset_root", root,
+        "--training", "False",
+        "--ori_noise", "180",
+        "--FoV", "180",
+        "-b", "4",
+        "--test_model_path", pt_path,
+        "--orientation_dir", str(odir),
+        "--results_dir", str(tmp_path / "res"),
+        "--checkpoint_dir", str(tmp_path / "ck"),
+        "--num_workers", "2",
+    ])
+    np.testing.assert_allclose(got["mean_distance_m"],
+                               np.mean(distance_in_meters),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got["median_distance_m"],
+                               np.median(distance_in_meters),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got["mean_probability_at_gt"],
+                               np.mean(probability_at_gt),
+                               rtol=2e-3, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # KITTI
 # ---------------------------------------------------------------------------
