@@ -25,6 +25,7 @@ def main():
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
     remat_env = os.environ.get("CCVPE_TRAIN_BENCH_REMAT", "")
     remat = {"": False, "0": False, "1": True}.get(remat_env, remat_env)
+    grad_accum = int(os.environ.get("CCVPE_TRAIN_BENCH_ACCUM", "1"))
     bf16_params = os.environ.get("CCVPE_TRAIN_BENCH_BF16_PARAMS") == "1"
 
     import jax
@@ -39,7 +40,8 @@ def main():
     opt = train_loop.make_optimizer(f32_master=bf16_params)
     param_dtype = jnp.bfloat16 if bf16_params else None
     step = train_loop.make_train_step(cfg, opt, remat=remat,
-                                      compute_dtype=dtype)
+                                      compute_dtype=dtype,
+                                      grad_accum=grad_accum)
     jstep = jax.jit(step, donate_argnums=(0,))
 
     for b in batches:
@@ -93,6 +95,7 @@ def main():
             if peak:
                 mfu += f" = {100 * achieved / peak:.1f}% MFU"
         print(f"{preset} B={b} {dtype_name} remat={remat} "
+              f"accum={grad_accum} "
               f"bf16_params={bf16_params}: "
               f"{dt * 1e3:.0f} ms/step -> {b / dt:.1f} pairs/s "
               f"(loss {loss:.0f}{mfu})", flush=True)

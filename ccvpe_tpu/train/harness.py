@@ -45,7 +45,8 @@ class Trainer:
                  matching_impl: str = "einsum",
                  n_model: int = 1,
                  keep_checkpoints: int | None = 3,
-                 zero1: bool = False):
+                 zero1: bool = False,
+                 grad_accum: int = 1):
         """``n_model > 1`` reserves that many devices for the model axis:
         large weights and their optimizer moments are tensor-sharded via
         ``parallel.mesh.tree_shardings`` and GSPMD partitions the matmuls —
@@ -95,7 +96,7 @@ class Trainer:
         self._step_fn = train_loop.make_train_step(
             model_cfg, self.optimizer, weight_info_nce=weight_info_nce,
             weight_ori=weight_ori, remat=remat, compute_dtype=dtype,
-            matching_impl=matching_impl)
+            matching_impl=matching_impl, grad_accum=grad_accum)
         # compiled lazily: TP state shardings depend on the state tree
         self._train_step = None
         self._state_shardings = None

@@ -120,7 +120,7 @@ def train_state_from_torch(state_dict, optimizer,
 def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
                     weight_info_nce: float = 1e4, weight_ori: float = 1e1,
                     remat: bool | str = False, compute_dtype=jnp.float32,
-                    matching_impl: str = "einsum"):
+                    matching_impl: str = "einsum", grad_accum: int = 1):
     """Build the jittable train step.
 
     batch dict (NHWC): grd, sat, gt [B,H,W], bin_weights [B,bins],
@@ -134,26 +134,63 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
 
     ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16
     (f32 master weights and f32 loss math; ~1.5x step throughput on v5e).
+
+    ``grad_accum=N`` splits the batch into N microbatches inside a
+    ``lax.scan`` and applies Adam once on the averaged gradients: activation
+    peak is that of ONE microbatch, so effective batches beyond the HBM
+    wall (B=128 on v5e, see ARCHITECTURE.md) train without multi-chip.
+    Matches torch-style accumulation loops: BatchNorm normalizes per
+    microbatch (running stats chain through all N), so numerics are
+    microbatch-BN semantics, not single-big-batch BN.
     """
 
-    def train_step(state: TrainState, batch, rng):
-        def fwd(params, grd, sat):
+    def one_grad(params, bn_state, mb, rng):
+        def loss_fn(params):
             # remat at MBConv-block / decoder-stage granularity (whole-
             # forward checkpointing would not reduce the backward peak)
-            return cvm.forward(model_cfg, params, state.bn_state,
-                               grd.astype(compute_dtype),
-                               sat.astype(compute_dtype),
-                               train=True, rng=rng, remat=remat,
-                               matching_impl=matching_impl)
-
-        def loss_fn(params):
-            out, new_bn = fwd(params, batch["grd"], batch["sat"])
+            out, new_bn = cvm.forward(model_cfg, params, bn_state,
+                                      mb["grd"].astype(compute_dtype),
+                                      mb["sat"].astype(compute_dtype),
+                                      train=True, rng=rng, remat=remat,
+                                      matching_impl=matching_impl)
             loss, parts = losses.total_loss(
-                out, batch["gt"], batch["bin_weights"], batch["orientation"],
+                out, mb["gt"], mb["bin_weights"], mb["orientation"],
                 weight_info_nce=weight_info_nce, weight_ori=weight_ori)
             return loss, (new_bn, parts)
 
-        grads, (new_bn, parts) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, batch, rng):
+        if grad_accum == 1:
+            grads, (new_bn, parts) = one_grad(state.params, state.bn_state,
+                                              batch, rng)
+        else:
+            b = batch["gt"].shape[0]
+            if b % grad_accum:
+                raise ValueError(f"batch {b} must divide grad_accum="
+                                 f"{grad_accum}")
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(grad_accum, b // grad_accum,
+                                    *x.shape[1:]), batch)
+            rngs = jax.random.split(rng, grad_accum)
+
+            def body(carry, xs):
+                bn, gsum, lsum = carry
+                mb, r = xs
+                g, (new_bn, parts) = one_grad(state.params, bn, mb, r)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                lsum = jax.tree_util.tree_map(jnp.add, lsum, parts)
+                return (new_bn, gsum, lsum), None
+
+            g0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            l0 = {k: jnp.zeros((), jnp.float32)
+                  for k in ("loss", "ce", "info_nce", "ori")}
+            (new_bn, gsum, lsum), _ = jax.lax.scan(
+                body, (state.bn_state, g0, l0), (micro, rngs))
+            grads = jax.tree_util.tree_map(
+                lambda g: (g / grad_accum).astype(g.dtype), gsum)
+            parts = {k: v / grad_accum for k, v in lsum.items()}
         parts["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)

@@ -51,6 +51,10 @@ def parse_args(argv=None):
                    help="run the aerial alignment chain batched on device "
                         "for training (host only decodes); eval keeps the "
                         "bit-faithful host path")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over N microbatches inside "
+                        "the step (activation peak = one microbatch; "
+                        "effective batches beyond the single-chip HBM wall)")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard optimizer state (Adam moments, f32 "
                         "master) over the data axis")
@@ -115,6 +119,7 @@ def main(argv=None):
         keep_checkpoints=args.keep_checkpoints,
         profile_dir=args.profile_dir or None,
         zero1=args.zero1,
+        grad_accum=args.grad_accum,
         n_model=args.n_model)
 
     root = args.dataset_root

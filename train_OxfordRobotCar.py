@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--test_model_path", type=str,
                    default="models/OxfordRobotCar/model.pt")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over N microbatches inside "
+                        "the step (activation peak = one microbatch; "
+                        "effective batches beyond the single-chip HBM wall)")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard optimizer state (Adam moments, f32 "
                         "master) over the data axis")
@@ -108,6 +112,7 @@ def main(argv=None):
         keep_checkpoints=args.keep_checkpoints,
         profile_dir=args.profile_dir or None,
         zero1=args.zero1,
+        grad_accum=args.grad_accum,
         n_model=args.n_model)
 
     dev_train = lambda raw: oxford.device_batch(

@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--cache_dir", type=str, default="",
                    help="build/use preprocessed uint8 array caches "
                         "(decode-free input streaming)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over N microbatches inside "
+                        "the step (activation peak = one microbatch; "
+                        "effective batches beyond the single-chip HBM wall)")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard optimizer state (Adam moments, f32 "
                         "master) over the data axis")
@@ -126,6 +130,7 @@ def main(argv=None):
         keep_checkpoints=args.keep_checkpoints,
         profile_dir=args.profile_dir or None,
         zero1=args.zero1,
+        grad_accum=args.grad_accum,
         n_model=args.n_model)
 
     grd_hw, sat_hw = cfg.grd_hw, cfg.sat_hw
