@@ -288,11 +288,6 @@ class Trainer:
         fast path; identical metrics.
         """
         assert self.state is not None
-        pc = jax.process_count()
-        if pc > 1 and not device_readout:
-            raise NotImplementedError(
-                "multi-host eval requires device_readout=True (full "
-                "heatmaps of a cross-host global batch are not fetchable)")
         step = self._get_eval_step(loc_offsets, readout=device_readout)
         acc = PoseErrorAccumulator()
         t0, pairs = time.time(), 0
@@ -337,16 +332,23 @@ class Trainer:
                     flush(pending)
                 pending = r
             else:
-                grd, sat = mesh_lib.shard_batch(
-                    self.mesh, (batch["grd"], batch["sat"]))
+                # full-heatmap (debug/parity) path.  Every field rides the
+                # same global-array assembly as the model inputs, so on
+                # multi-host runs fetch_global materializes the complete
+                # global batch of heatmaps on every process — bandwidth-
+                # heavy but exact; the parity path works on pods too.
+                grd, sat, gt_d, om_d, mpp_d, head_d = mesh_lib.shard_batch(
+                    self.mesh, (batch["grd"], batch["sat"], batch["gt"],
+                                batch["orientation"], mpp_local,
+                                heading_local))
                 out = step(self.state.params, self.state.bn_state, grd, sat)
-                acc.update(np.asarray(out.heatmap),
-                           np.asarray(batch["gt"])[..., None],
-                           np.asarray(out.ori),
-                           np.asarray(batch["orientation"]), mpp_local,
+                hm_g, ori_g, gt_g, om_g, mpp_g, head_g = \
+                    mesh_lib.fetch_global(
+                        (out.heatmap, out.ori, gt_d, om_d, mpp_d, head_d))
+                acc.update(hm_g, gt_g[..., None], ori_g, om_g, mpp_g,
                            orientation_from_north=(
-                               heading_local if with_heading else None))
-                pairs += b_local
+                               head_g if with_heading else None))
+                pairs += int(mpp_g.shape[0])
         if pending is not None:
             flush(pending)
         summary = acc.summary()

@@ -107,8 +107,19 @@ def run(pid: int, nprocs: int, port: int, out: str) -> None:
     summary = trainer.evaluate(eval_loader, dev_eval, meter_per_pixel=0.1)
     summary.pop("pairs_per_sec", None)
 
+    # full-heatmap (device_readout=False) path: on multi-host this
+    # materializes the global heatmap batch on every process via
+    # fetch_global — must agree with the readout path and the golden run
+    eval_loader2 = pipeline.Loader(sample_fn, np.arange(n_samples),
+                                   global_batch, num_workers=2,
+                                   multihost=True)
+    summary_hm = trainer.evaluate(eval_loader2, dev_eval,
+                                  meter_per_pixel=0.1,
+                                  device_readout=False)
+    summary_hm.pop("pairs_per_sec", None)
+
     result = {"param_norm": param_norm, "step": step, "summary": summary,
-              "nprocs": nprocs}
+              "summary_hm": summary_hm, "nprocs": nprocs}
     if pid == 0:
         with open(out, "w") as f:
             json.dump(result, f)

@@ -69,3 +69,13 @@ def test_two_process_matches_single_process(tmp_path):
             dual["summary"][key], want, rtol=1e-3, atol=1e-4,
             err_msg=f"metric {key}: single {want} vs "
                     f"dual {dual['summary'][key]}")
+    # full-heatmap (device_readout=False) eval must run under 2 processes
+    # (global heatmap fetch via process_allgather) and agree with both the
+    # readout path and the single-process golden run
+    for run in (single, dual):
+        for key, want in run["summary"].items():
+            np.testing.assert_allclose(
+                run["summary_hm"][key], want, rtol=1e-3, atol=1e-4,
+                err_msg=f"heatmap-path metric {key} (nprocs="
+                        f"{run['nprocs']}): readout {want} vs "
+                        f"heatmap {run['summary_hm'][key]}")
