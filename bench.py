@@ -15,6 +15,9 @@ Env knobs:
   CCVPE_BENCH_PRESET  model preset (default VIGOR)
   CCVPE_BENCH_MATCHING  einsum | pallas | reference (default einsum)
   CCVPE_BENCH_PLATFORM  pin the jax backend, e.g. cpu (debug/CI)
+  CCVPE_BENCH_QUANT   int8 -> post-training-quantized forward (nn/quant.py:
+                      calibrate on the bench batch, per-channel int8 weights,
+                      static activation scales; MXU int8 path)
 """
 
 import json
@@ -107,6 +110,21 @@ def main():
     grd = jax.random.normal(key, (batch, *cfg.grd_hw, 3), jnp.float32)
     sat = jax.random.normal(key, (batch, *cfg.sat_hw, 3), jnp.float32)
 
+    quant_mode = os.environ.get("CCVPE_BENCH_QUANT", "")
+    if quant_mode == "int8":
+        from ccvpe_tpu.nn import quant as quant_lib
+
+        def calib_fwd(p, g, s):
+            out, _ = cvm.forward(cfg, p, state, g.astype(dtype),
+                                 s.astype(dtype), train=False,
+                                 matching_impl=matching)
+            return out.logits_flattened
+
+        ranges = quant_lib.calibrate(calib_fwd, params, [(grd, sat)])
+        params = quant_lib.quantize_params(jax.device_get(params), ranges)
+    elif quant_mode:
+        raise SystemExit(f"unknown CCVPE_BENCH_QUANT={quant_mode!r}")
+
     float(timed_loop(params, state, grd, sat))  # compile + warmup
     t0 = time.perf_counter()
     float(timed_loop(params, state, grd, sat))  # fetch forces completion
@@ -119,7 +137,8 @@ def main():
     # chip's dense bf16 peak (VERDICT r1 item 8)
     record = {
         "metric": f"{preset} inference throughput (batch {batch}, "
-                  f"{dtype_name}, {dev.platform})",
+                  f"{dtype_name}{'+int8 PTQ' if quant_mode else ''}, "
+                  f"{dev.platform})",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / baseline_fps, 2),

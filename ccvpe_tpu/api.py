@@ -158,12 +158,64 @@ class CVMModel:
         r = jax.device_get(fwd(self.params, self.bn_state, g, s))
         return _poses_from_readout(r, grd.shape[0], return_heatmap)
 
+    def quantize_int8(self, calib: Sequence[tuple] | None = None, *,
+                      ori_noise: float = 180.0) -> "CVMModel":
+        """Post-training int8 quantization of this model, in place.
+
+        Rewrites the conv weights to per-channel int8 with calibrated
+        static activation scales (``nn.quant``); subsequent ``predict`` /
+        ``predict_batch`` calls run the MXU's 2x-rate int8 conv path.
+        Inference-only — export/save_torch require the float tree, so
+        quantize a serving copy, not your training model.
+
+        ``calib``: iterable of (grd, sat) uint8 image batches at model size
+        used to record activation ranges; defaults to one synthetic batch
+        (prefer a handful of real samples for deployment).
+        """
+        from .nn import quant
+
+        if calib is None:
+            rng = np.random.default_rng(0)
+            calib = [(rng.integers(0, 256, (2, *self.cfg.grd_hw, 3),
+                                   dtype=np.uint8),
+                      rng.integers(0, 256, (2, *self.cfg.sat_hw, 3),
+                                   dtype=np.uint8))]
+        n = _ori_noise_to_n(ori_noise)
+        offsets = (tuple(range(self.cfg.bins)) if n is None
+                   else tuple(range(-n, n + 1)))
+        bn_state = self.bn_state
+
+        def fwd(p, g, s):
+            out, _ = cvm.forward(self.cfg, p, bn_state, g, s, train=False,
+                                 loc_offsets=offsets,
+                                 matching_impl=self.matching_impl)
+            return out.logits_flattened
+
+        batches = [(transforms.normalize_images(jnp.asarray(g)),
+                    transforms.normalize_images(jnp.asarray(s)))
+                   for g, s in calib]
+        ranges = quant.calibrate(fwd, self.params, batches)
+        qparams = quant.quantize_params(jax.device_get(self.params), ranges)
+        if self.mesh is not None:
+            from .parallel import mesh as mesh_lib
+
+            qparams = mesh_lib.replicate(self.mesh, qparams)
+        self.params = qparams
+        self._compiled.clear()
+        return self
+
     def save_torch(self, path: str):
         """Write a reference-format torch checkpoint of this model's weights
         (``io.torch_import.save_torch_checkpoint``) — train/fine-tune here,
         evaluate or visualize with reference-ecosystem tooling."""
         from .io.torch_import import save_torch_checkpoint
+        from .nn.quant import quantized_fraction
 
+        if quantized_fraction(self.params) > 0:
+            raise ValueError(
+                "cannot export an int8-quantized model to a torch "
+                "checkpoint — quantized trees are inference-only; keep the "
+                "float model for export (see quantize_int8 docstring)")
         save_torch_checkpoint(path, jax.device_get(self.params),
                               jax.device_get(self.bn_state))
 

@@ -108,8 +108,23 @@ def conv_init(key, spec: ConvSpec, dtype=jnp.float32):
     return params
 
 
+# Trace-time hook used by ``nn.quant`` calibration: when set, called with
+# (params, x) for every conv before it executes, inside the caller's trace.
+_conv_observer = None
+
+
 def conv_apply(params, x, spec: ConvSpec):
-    """NHWC conv with build-time static padding (and optional circular wrap)."""
+    """NHWC conv with build-time static padding (and optional circular wrap).
+
+    If the params node carries PTQ fields (``q_sx``/``q_sw``, produced by
+    ``nn.quant.quantize_params``) the conv runs on the MXU's 2x-rate int8
+    path instead; the branch is on dict *structure*, so it is static under
+    ``jit`` and needs no signature change at any call site.
+    """
+    if _conv_observer is not None:
+        _conv_observer(params, x)
+    if "q_sx" in params:
+        return _conv_apply_int8(params, x, spec)
     x = pad2d(x, spec.pad, spec.circular)
     y = lax.conv_general_dilated(
         x, params["w"].astype(x.dtype),
@@ -120,6 +135,37 @@ def conv_apply(params, x, spec: ConvSpec):
     )
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
+    return y
+
+
+def _conv_apply_int8(params, x, spec: ConvSpec):
+    """Post-training-quantized conv: int8 activations (calibrated static
+    per-tensor scale ``q_sx``) x int8 weights (per-output-channel scales
+    ``q_sw``), int32 accumulation, dequantized f32 epilogue.
+
+    The activation quantize is elementwise with a *constant* scale, so XLA
+    fuses it into the producer/consumer — no extra reduction pass (the
+    reason calibrated static scales beat dynamic per-batch quantization,
+    see ``benchmarks/quant_microbench.py``).  Padding happens on the int8
+    tensor (zero pad and circular wrap are exact in the quantized domain).
+    """
+    out_dtype = x.dtype
+    inv_sx = (1.0 / params["q_sx"]).astype(jnp.float32)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv_sx),
+                  -127.0, 127.0).astype(jnp.int8)
+    xq = pad2d(xq, spec.pad, spec.circular)
+    y = lax.conv_general_dilated(
+        xq, params["w"],
+        window_strides=(spec.stride, spec.stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=spec.groups,
+        preferred_element_type=jnp.int32,
+    )
+    scale = (params["q_sx"] * params["q_sw"]).astype(jnp.float32)
+    y = (y.astype(jnp.float32) * scale).astype(out_dtype)
+    if "b" in params:
+        y = y + params["b"].astype(out_dtype)
     return y
 
 

@@ -325,6 +325,12 @@ def main(argv=None):
                          "request before dispatching a short batch")
     ap.add_argument("--warmup", action="store_true",
                     help="compile the default forward before serving")
+    ap.add_argument("--quantize", default="", choices=["", "int8"],
+                    help="post-training quantization of the serving model "
+                         "(int8: MXU 2x-rate conv path, nn/quant.py; "
+                         "calibrated on synthetic ranges — pass real "
+                         "samples via api.CVMModel.quantize_int8 for "
+                         "deployment-grade calibration)")
     args = ap.parse_args(argv)
 
     from . import api
@@ -332,6 +338,9 @@ def main(argv=None):
     model = api.load_model(args.checkpoint, preset=args.preset,
                            matching_impl=args.matching_impl,
                            mesh=args.mesh or None)
+    if args.quantize == "int8":
+        model.quantize_int8()
+        print("model quantized: int8 PTQ (synthetic calibration)")
     service = PoseService(model, args.preset, batch=args.batch,
                           max_wait_ms=args.max_wait_ms)
     if args.warmup:
