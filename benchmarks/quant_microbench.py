@@ -56,7 +56,9 @@ def main():
 
     # (name, B, H, W, Cin, Cout, k, stride, groups)
     shapes = [
-        ("stem 3x3 s2 512^2 3->32",      32, 512, 512, 8, 32, 3, 2, 1),
+        # cin=8 is the padded-channel proxy for the 3-channel stem (XLA
+        # pads cin 3->8 for the MXU; int8-vs-bf16 ratio is representative)
+        ("stem 3x3 s2 512^2 8->32 (3ch proxy)", 32, 512, 512, 8, 32, 3, 2, 1),
         ("expand 1x1 128^2 24->144",     32, 128, 128, 24, 144, 1, 1, 1),
         ("dw 3x3 128^2 144",             32, 128, 128, 144, 144, 3, 1, 144),
         ("project 1x1 64^2 240->40",     32, 64, 64, 240, 40, 1, 1, 1),

@@ -165,8 +165,11 @@ class CVMModel:
         Rewrites the conv weights to per-channel int8 with calibrated
         static activation scales (``nn.quant``); subsequent ``predict`` /
         ``predict_batch`` calls run the MXU's 2x-rate int8 conv path.
-        Inference-only — export/save_torch require the float tree, so
-        quantize a serving copy, not your training model.
+        Inference-only — ``save_torch`` requires the float tree (the
+        reference checkpoint format has no int8 representation), so
+        quantize a serving copy, not your training model.  ``export_model``
+        does work on a quantized model: the StableHLO artifact then carries
+        the int8 forward and the pickled int8 weights.
 
         ``calib``: iterable of (grd, sat) uint8 image batches at model size
         used to record activation ranges; defaults to one synthetic batch
@@ -174,6 +177,10 @@ class CVMModel:
         """
         from .nn import quant
 
+        if quant.quantized_fraction(self.params) > 0:
+            raise ValueError(
+                "model is already int8-quantized; re-quantizing would "
+                "recalibrate on int8 codes and corrupt the scales")
         if calib is None:
             rng = np.random.default_rng(0)
             calib = [(rng.integers(0, 256, (2, *self.cfg.grd_hw, 3),
@@ -213,9 +220,9 @@ class CVMModel:
 
         if quantized_fraction(self.params) > 0:
             raise ValueError(
-                "cannot export an int8-quantized model to a torch "
+                "cannot write an int8-quantized model to a torch "
                 "checkpoint — quantized trees are inference-only; keep the "
-                "float model for export (see quantize_int8 docstring)")
+                "float model for torch export (see quantize_int8 docstring)")
         save_torch_checkpoint(path, jax.device_get(self.params),
                               jax.device_get(self.bn_state))
 

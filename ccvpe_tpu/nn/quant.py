@@ -149,6 +149,10 @@ def quantize_params(params, ranges: dict[str, float], *,
     def walk(node, path):
         sep = "/" if path else ""
         if isinstance(node, dict):
+            if "q_sx" in node:
+                # already int8: re-quantizing would treat the raw codes as
+                # float weights and silently destroy the per-channel scale
+                return dict(node)
             if ("w" in node and path in ranges and select(path, node)):
                 return _quantize_conv(node, ranges[path])
             return {k: walk(v, f"{path}{sep}{k}") for k, v in node.items()}

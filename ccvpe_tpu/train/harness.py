@@ -331,12 +331,12 @@ class Trainer:
                 if pending is not None:
                     flush(pending)
                 pending = r
-            else:
-                # full-heatmap (debug/parity) path.  Every field rides the
-                # same global-array assembly as the model inputs, so on
-                # multi-host runs fetch_global materializes the complete
-                # global batch of heatmaps on every process — bandwidth-
-                # heavy but exact; the parity path works on pods too.
+            elif jax.process_count() > 1:
+                # full-heatmap (debug/parity) path, multi-host.  Every field
+                # rides the same global-array assembly as the model inputs,
+                # so fetch_global materializes the complete global batch of
+                # heatmaps on every process — bandwidth-heavy but exact; the
+                # parity path works on pods too.
                 grd, sat, gt_d, om_d, mpp_d, head_d = mesh_lib.shard_batch(
                     self.mesh, (batch["grd"], batch["sat"], batch["gt"],
                                 batch["orientation"], mpp_local,
@@ -349,6 +349,20 @@ class Trainer:
                            orientation_from_north=(
                                head_g if with_heading else None))
                 pairs += int(mpp_g.shape[0])
+            else:
+                # full-heatmap path, single process: the metric side-fields
+                # never need the device — use them directly instead of a
+                # host->device->host round-trip through shard/fetch
+                grd, sat = mesh_lib.shard_batch(
+                    self.mesh, (batch["grd"], batch["sat"]))
+                out = step(self.state.params, self.state.bn_state, grd, sat)
+                acc.update(np.asarray(out.heatmap),
+                           np.asarray(batch["gt"])[..., None],
+                           np.asarray(out.ori),
+                           np.asarray(batch["orientation"]), mpp_local,
+                           orientation_from_north=(
+                               heading_local if with_heading else None))
+                pairs += b_local
         if pending is not None:
             flush(pending)
         summary = acc.summary()

@@ -167,12 +167,18 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
         else:
             b = batch["gt"].shape[0]
             if b % grad_accum:
-                raise ValueError(f"batch {b} must divide grad_accum="
-                                 f"{grad_accum}")
+                raise ValueError(f"batch {b} must be divisible by "
+                                 f"grad_accum={grad_accum}")
             micro = jax.tree_util.tree_map(
                 lambda x: x.reshape(grad_accum, b // grad_accum,
                                     *x.shape[1:]), batch)
             rngs = jax.random.split(rng, grad_accum)
+            # abstract-eval one microbatch to learn the grad dtypes and the
+            # loss-parts structure (keeps this path in sync with whatever
+            # losses.total_loss returns; accumulation itself stays f32)
+            mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+            g_tmpl, (_, parts_tmpl) = jax.eval_shape(
+                one_grad, state.params, state.bn_state, mb0, rngs[0])
 
             def body(carry, xs):
                 bn, gsum, lsum = carry
@@ -183,14 +189,15 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
                 return (new_bn, gsum, lsum), None
 
             g0 = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-            l0 = {k: jnp.zeros((), jnp.float32)
-                  for k in ("loss", "ce", "info_nce", "ori")}
+                lambda s: jnp.zeros(s.shape, jnp.float32), g_tmpl)
+            l0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, jnp.float32), parts_tmpl)
             (new_bn, gsum, lsum), _ = jax.lax.scan(
                 body, (state.bn_state, g0, l0), (micro, rngs))
             grads = jax.tree_util.tree_map(
-                lambda g: (g / grad_accum).astype(g.dtype), gsum)
-            parts = {k: v / grad_accum for k, v in lsum.items()}
+                lambda g, s: (g / grad_accum).astype(s.dtype), gsum, g_tmpl)
+            parts = jax.tree_util.tree_map(
+                lambda v: v / grad_accum, lsum)
         parts["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)

@@ -123,6 +123,32 @@ def test_api_quantize_int8_serves_and_blocks_export(tmp_path):
     del before
     with pytest.raises(ValueError, match="int8-quantized"):
         model.save_torch(str(tmp_path / "q.pt"))
+    # double application is an error, not silent scale corruption
+    with pytest.raises(ValueError, match="already int8-quantized"):
+        model.quantize_int8(calib=[(grd, sat)])
+    # export DOES work on the quantized model: the artifact carries the
+    # int8 forward and reproduces the quantized in-process prediction
+    api.export_model(model, str(tmp_path / "q_export"), batch=2,
+                     ori_noise=0)
+    exported = api.ExportedModel(str(tmp_path / "q_export"))
+    re = exported.predict_batch(grd, sat)
+    np.testing.assert_allclose(
+        [p.probability for p in re], [p.probability for p in after],
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal([p.row for p in re],
+                                  [p.row for p in after])
+
+
+def test_quantize_params_skips_already_quantized(nano_setup):
+    _, params, _, _, _, _, ranges = nano_setup
+    q1 = quant.quantize_params(params, ranges)
+    q2 = quant.quantize_params(q1, ranges)
+    stem1 = q1["grd_efficientnet"]["conv_stem"]
+    stem2 = q2["grd_efficientnet"]["conv_stem"]
+    np.testing.assert_array_equal(np.asarray(stem1["w"]),
+                                  np.asarray(stem2["w"]))
+    np.testing.assert_array_equal(np.asarray(stem1["q_sw"]),
+                                  np.asarray(stem2["q_sw"]))
 
 
 def test_quantized_lowering_contains_int8_convs(nano_setup):
