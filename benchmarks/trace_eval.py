@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""Capture a device trace of the eval forward and print a roofline report.
+"""Capture a device trace of the eval forward or train step + roofline report.
 
 Writes the trace under --logdir (XProf/TensorBoard compatible), dumps the
 compiled HLO next to it, then runs ``utils.trace_analysis`` to attribute
 device time per fusion family / output shape / op with achieved GB/s — all
-headless (no TensorBoard server required).
+headless (no TensorBoard server required).  ``--memory`` additionally prints
+XLA's memory analysis of the compiled program (the tool behind the "B=128 is
+the HBM frontier" claim in ARCHITECTURE.md).
 
 Usage (real TPU):
-    python benchmarks/trace_eval.py --batch 128 --top 30
+    python benchmarks/trace_eval.py --batch 128 --top 30 --memory
+    python benchmarks/trace_eval.py --mode train --batch 32 --remat encoder
     python benchmarks/trace_eval.py --analyze_only --logdir /tmp/eval_trace
 """
 
@@ -23,18 +26,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ccvpe_tpu.utils import trace_analysis  # noqa: E402
 
 
-def capture(logdir: str, batch: int, preset: str, iters: int) -> None:
+def _print_memory(compiled) -> None:
+    try:
+        ma = compiled.memory_analysis()
+    except Exception as e:  # backend without the API
+        print(f"memory analysis unavailable: {e}")
+        return
+    gib = 1 << 30
+    print(f"memory: args {ma.argument_size_in_bytes / gib:.2f} GiB, "
+          f"outputs {ma.output_size_in_bytes / gib:.2f} GiB, "
+          f"temps {ma.temp_size_in_bytes / gib:.2f} GiB, "
+          f"generated code {ma.generated_code_size_in_bytes / gib:.3f} GiB; "
+          f"aliased {ma.alias_size_in_bytes / gib:.2f} GiB")
+
+
+def _eval_fn(cfg, batch):
     import jax
     import jax.numpy as jnp
 
     from ccvpe_tpu.models import cvm
-    from ccvpe_tpu.utils import compilation_cache
 
-    compilation_cache.enable()
-    cfg = cvm.PRESETS[preset]
     params, state = cvm.init(jax.random.PRNGKey(0), cfg)
 
-    @jax.jit
     def fwd(params, state, grd, sat):
         out, _ = cvm.forward(cfg, params, state,
                              grd.astype(jnp.bfloat16),
@@ -44,32 +57,92 @@ def capture(logdir: str, batch: int, preset: str, iters: int) -> None:
     key = jax.random.PRNGKey(1)
     grd = jax.random.normal(key, (batch, *cfg.grd_hw, 3), jnp.float32)
     sat = jax.random.normal(key, (batch, *cfg.sat_hw, 3), jnp.float32)
+    return jax.jit(fwd), (params, state, grd, sat), False
 
-    jax.block_until_ready(fwd(params, state, grd, sat))  # compile
-    os.makedirs(logdir, exist_ok=True)
-    with open(os.path.join(logdir, "module.hlo.txt"), "w") as f:
-        f.write(jax.jit(fwd).lower(params, state, grd, sat)
-                .compile().as_text())
-    jax.profiler.start_trace(logdir)
-    for _ in range(iters):
-        hm, ori = fwd(params, state, grd, sat)
-    jax.block_until_ready((hm, ori))
+
+def _train_fn(cfg, batch, remat):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ccvpe_tpu.ops import gt as gt_ops
+    from ccvpe_tpu.train import loop as train_loop
+
+    opt = train_loop.make_optimizer()
+    step = train_loop.make_train_step(cfg, opt, remat=remat,
+                                      compute_dtype=jnp.bfloat16)
+    state = train_loop.create_train_state(cfg, jax.random.PRNGKey(0), opt)
+    rng = np.random.default_rng(0)
+    h, w = cfg.sat_hw
+    gt, weights, omap = gt_ops.synthesize_batch_factored(
+        jnp.asarray(rng.uniform(-20, 20, batch), jnp.float32),
+        jnp.asarray(rng.uniform(-20, 20, batch), jnp.float32),
+        jnp.asarray(rng.uniform(0, 360, batch), jnp.float32),
+        height=h, width=w, bins=cfg.bins)
+    b = {"grd": jnp.asarray(rng.standard_normal((batch, *cfg.grd_hw, 3)),
+                            jnp.float32),
+         "sat": jnp.asarray(rng.standard_normal((batch, h, w, 3)),
+                            jnp.float32),
+         "gt": gt, "bin_weights": weights, "orientation": omap}
+    # no donation: the traced loop reuses the same state across iterations
+    return jax.jit(step), (state, b, jax.random.PRNGKey(1)), True
+
+
+def capture(args) -> None:
+    import jax
+
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.utils import compilation_cache
+
+    compilation_cache.enable()
+    cfg = cvm.PRESETS[args.preset]
+    if args.mode == "train":
+        fn, fargs, is_step = _train_fn(cfg, args.batch, args.remat)
+    else:
+        fn, fargs, is_step = _eval_fn(cfg, args.batch)
+
+    compiled = fn.lower(*fargs).compile()
+    os.makedirs(args.logdir, exist_ok=True)
+    with open(os.path.join(args.logdir, "module.hlo.txt"), "w") as f:
+        f.write(compiled.as_text())
+    if args.memory:
+        _print_memory(compiled)
+
+    out = fn(*fargs)  # warmup on the same executable
+    jax.block_until_ready(out)
+    jax.profiler.start_trace(args.logdir)
+    for _ in range(args.iters):
+        if is_step:
+            state, parts = fn(*fargs)
+            out = parts
+        else:
+            out = fn(*fargs)
+    jax.block_until_ready(out)
     jax.profiler.stop_trace()
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="/tmp/eval_trace")
+    ap.add_argument("--mode", choices=["eval", "train"], default="eval")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--preset", default="VIGOR")
+    ap.add_argument("--remat", default=False,
+                    help="train-mode remat scope (1/all/encoder/decoder)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--memory", action="store_true",
+                    help="print XLA memory analysis of the compiled program")
     ap.add_argument("--analyze_only", action="store_true")
     ap.add_argument("--json_out", default="",
                     help="also write the full report as JSON")
     args = ap.parse_args()
+    if args.remat in ("0", "", False):
+        args.remat = False
+    elif args.remat == "1":
+        args.remat = True
     if not args.analyze_only:
-        capture(args.logdir, args.batch, args.preset, args.iters)
+        capture(args)
     durations, _ = trace_analysis.load_device_durations(args.logdir)
     hlo_path = os.path.join(args.logdir, "module.hlo.txt")
     hlo = None
