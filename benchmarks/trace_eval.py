@@ -92,8 +92,12 @@ def capture(args) -> None:
     import jax
 
     from ccvpe_tpu.models import cvm
-    from ccvpe_tpu.utils import compilation_cache
+    from ccvpe_tpu.utils import compilation_cache, profiling
 
+    if args.platform:
+        # the environment's sitecustomize may override JAX_PLATFORMS itself,
+        # so an env var is not enough to pin the backend (same as bench.py)
+        jax.config.update("jax_platforms", args.platform)
     compilation_cache.enable()
     cfg = cvm.PRESETS[args.preset]
     if args.mode == "train":
@@ -101,24 +105,27 @@ def capture(args) -> None:
     else:
         fn, fargs, is_step = _eval_fn(cfg, args.batch)
 
+    # AOT-compile once and call THAT executable for warmup and the traced
+    # loop (a plain fn(*fargs) would re-enter the pjit cache and recompile),
+    # so module.hlo.txt is exactly the program whose trace is analyzed.
     compiled = fn.lower(*fargs).compile()
     os.makedirs(args.logdir, exist_ok=True)
     with open(os.path.join(args.logdir, "module.hlo.txt"), "w") as f:
         f.write(compiled.as_text())
+    with open(os.path.join(args.logdir, "trace_meta.json"), "w") as f:
+        json.dump({"iters": args.iters, "mode": args.mode,
+                   "batch": args.batch, "preset": args.preset}, f)
     if args.memory:
         _print_memory(compiled)
 
-    out = fn(*fargs)  # warmup on the same executable
-    jax.block_until_ready(out)
-    jax.profiler.start_trace(args.logdir)
-    for _ in range(args.iters):
-        if is_step:
-            state, parts = fn(*fargs)
-            out = parts
-        else:
-            out = fn(*fargs)
-    jax.block_until_ready(out)
-    jax.profiler.stop_trace()
+    jax.block_until_ready(compiled(*fargs))  # warmup
+    with profiling.trace(args.logdir):
+        out = None
+        for _ in range(args.iters):
+            out = compiled(*fargs)
+            if is_step:
+                out = out[1]  # drop the new TrainState, keep the loss parts
+        jax.block_until_ready(out)
 
 
 def main():
@@ -133,6 +140,8 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--memory", action="store_true",
                     help="print XLA memory analysis of the compiled program")
+    ap.add_argument("--platform", default="",
+                    help="pin the jax backend (e.g. cpu for debug/CI)")
     ap.add_argument("--analyze_only", action="store_true")
     ap.add_argument("--json_out", default="",
                     help="also write the full report as JSON")
@@ -143,6 +152,15 @@ def main():
         args.remat = True
     if not args.analyze_only:
         capture(args)
+    # per-iter numbers must use the capture-time iteration count, not this
+    # invocation's flag — read it back from the sidecar when available
+    meta_path = os.path.join(args.logdir, "trace_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            args.iters = json.load(f)["iters"]
+    elif args.analyze_only:
+        print(f"warning: no trace_meta.json under {args.logdir}; "
+              f"normalizing by --iters {args.iters}")
     durations, _ = trace_analysis.load_device_durations(args.logdir)
     hlo_path = os.path.join(args.logdir, "module.hlo.txt")
     hlo = None

@@ -30,14 +30,13 @@ _DTYPE_BYTES = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
                 "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1, "f64": 8,
                 "s64": 8, "u64": 8}
 
-# an HLO instruction line: "%name = <type> <op>(operands...), metadata=..."
-_INSTR = re.compile(
-    r"%?([\w.\-]+) = (.+?) "
-    r"(fusion|copy|convolution|convert|reshape|transpose|concatenate|slice"
-    r"|dot|reduce|broadcast|custom-call|dynamic-slice|dynamic-update-slice"
-    r"|iota|pad|select|compare|add|multiply|subtract|divide|tuple|bitcast"
-    r"|get-tuple-element|all-reduce|all-gather|reduce-scatter"
-    r"|collective-permute)\((.*)")
+# an HLO instruction line: "[ROOT ]%name = <type> <op>(operands...), meta..."
+# The op kind is matched generically (any identifier followed by "(") rather
+# than by allowlist: entry parameters/constants MUST be indexed so that
+# fusions reading model weights or batch inputs count those operand bytes in
+# moved_bytes — an allowlist that omitted them undercounted achieved GB/s
+# ~10x on encoder convs; ROOT lines carry the module output (the conv tail).
+_INSTR = re.compile(r"(?:ROOT )?%?([\w.\-]+) = (.+?) ([\w\-]+)\((.*)")
 _SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
 _META_SRC = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
 _META_OP = re.compile(r'op_name="([^"]*)"')
@@ -99,8 +98,11 @@ def load_device_durations(logdir: str, exclude_prefix: str = "jit_",
                           ) -> tuple[collections.Counter, int]:
     """Sum device-op wall time (us) by HLO op name from the newest trace.
 
-    Skips host-thread events and the outer ``jit_<fn>`` module span (it is the
-    parent of every device op and would double-count).  Returns
+    A device pid carries several threads ("XLA Ops", "XLA Modules", "Steps",
+    framework-op rows); only "XLA Ops" holds the per-instruction spans —
+    summing the others would double-count the module/step envelopes.  When
+    thread metadata is absent (minimal traces), falls back to skipping the
+    outer ``jit_<fn>`` module span by name prefix.  Returns
     ``(durations, n_trace_files_considered)``.
     """
     paths = sorted(glob.glob(os.path.join(
@@ -113,15 +115,27 @@ def load_device_durations(logdir: str, exclude_prefix: str = "jit_",
     pid_names = {e["pid"]: e.get("args", {}).get("name", "")
                  for e in events
                  if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tid_names = {(e["pid"], e["tid"]): e.get("args", {}).get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    device_pids = {p for p, n in pid_names.items()
+                   if "TPU" in n or "XLA" in n or "/device:" in n}
+    if device_pids:
+        op_tids = {k for k, n in tid_names.items()
+                   if k[0] in device_pids and n == "XLA Ops"}
+    else:
+        # pure-CPU backend (CI smoke): per-op spans run on host threads
+        # named tf_XLAEigen/... — keep those, drop the runtime envelopes
+        device_pids = set(pid_names)
+        op_tids = {k for k, n in tid_names.items() if n.startswith("tf_XLA")}
     durations: collections.Counter = collections.Counter()
     for e in events:
-        if e.get("ph") != "X":
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
-        pname = pid_names.get(e.get("pid"), "")
-        if "TPU" not in pname and "XLA" not in pname:
+        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "?")
-        if name.startswith(exclude_prefix):
+        if name.startswith(exclude_prefix) or "::" in name:
             continue
         durations[name] += e.get("dur", 0)
     return durations, len(paths)

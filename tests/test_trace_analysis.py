@@ -13,9 +13,11 @@ HLO = """
 HloModule jit_fwd
 
 ENTRY %main {
+  %p0 = f32[2,8,8,4]{3,2,1,0:T(8,128)} parameter(0)
+  %p1 = bf16[4,4]{1,0:T(8,128)(2,1)} parameter(1)
   %convolution_add_fusion.1 = bf16[2,8,8,4]{0,3,2,1:T(8,128)(2,1)} fusion(%p0, %p1), kind=kOutput, calls=%fc.1, metadata={op_name="jit(fwd)/conv_general_dilated" source_file="/x/layers.py" source_line=129}
   %convert_reduce_fusion = (f32[2,4]{0,1:T(8,128)S(1)}, bf16[2,8,8,4]{0,3,2,1:T(8,128)(2,1)}) fusion(%convolution_add_fusion.1), kind=kOutput, calls=%fc.2, metadata={op_name="jit(fwd)/reduce_sum" source_file="/x/eff.py" source_line=7}
-  %copy.3 = bf16[2,8,8,4]{2,3,1,0:T(8,128)(2,1)} copy(%convert_reduce_fusion)
+  ROOT %copy.3 = bf16[2,8,8,4]{2,3,1,0:T(8,128)(2,1)} copy(%convert_reduce_fusion)
 }
 """
 
@@ -37,6 +39,7 @@ def test_shape_bytes_tuples_and_layouts():
 
 def test_hlo_index_and_moved_bytes():
     idx = ta.HloIndex.from_text(HLO)
+    # ROOT-prefixed instructions are indexed like any other
     assert idx.types["copy.3"].startswith("bf16[2,8,8,4]")
     assert idx.operands["convert_reduce_fusion"] == [
         "convolution_add_fusion.1"]
@@ -45,6 +48,12 @@ def test_hlo_index_and_moved_bytes():
     # result (tuple) + operand map
     assert idx.moved_bytes("convert_reduce_fusion") == (
         4 * 8 + 2 * 512) + 2 * 512
+    # entry parameters are indexed, so fusions reading model weights / batch
+    # inputs count those operand bytes (f32 input 2048B + bf16 weight 32B)
+    assert idx.types["p0"].startswith("f32[2,8,8,4]")
+    assert idx.moved_bytes("convolution_add_fusion.1") == (
+        2 * 512) + (4 * 512) + (2 * 16)
+    assert idx.moved_bytes("copy.3") == 2 * 512 + (4 * 8 + 2 * 512)
 
 
 def test_duration_loading_and_summary(tmp_path):
@@ -82,6 +91,28 @@ def test_duration_loading_and_summary(tmp_path):
     assert any(r["shape"].startswith("bf16[2,8,8,4]")
                for r in rep["by_shape"])
     ta.print_report(rep)  # smoke: no crash
+
+
+def test_thread_filter_keeps_only_xla_ops(tmp_path):
+    # real XProf exports carry several threads under the device pid; only
+    # "XLA Ops" holds per-instruction spans — the rest are envelopes that
+    # would double-count device time
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 1, "tid": 10, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 1, "tid": 11, "name": "thread_name",
+         "args": {"name": "Steps"}},
+        {"ph": "M", "pid": 1, "tid": 12, "name": "thread_name",
+         "args": {"name": "XLA Modules"}},
+        {"ph": "X", "pid": 1, "tid": 10, "name": "fusion.1", "dur": 300},
+        {"ph": "X", "pid": 1, "tid": 11, "name": "1", "dur": 900},
+        {"ph": "X", "pid": 1, "tid": 12, "name": "main(1)", "dur": 1000},
+    ]
+    logdir = _write_trace(tmp_path, events)
+    dur, _ = ta.load_device_durations(logdir)
+    assert dict(dur) == {"fusion.1": 300}
 
 
 def test_family_strips_instance_counter():
