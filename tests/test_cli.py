@@ -84,6 +84,46 @@ def test_eval_vigor_cli_smoke(synthetic_vigor, tmp_path):
     assert np.isfinite(summary["median_distance_m"])
 
 
+def test_train_vigor_warmstart_from_torch(synthetic_vigor, tmp_path,
+                                          torch_oracle):
+    """--init_model_path: fine-tune from a reference-format .pt — weights
+    load verbatim, optimizer state starts fresh, training then runs."""
+    import jax
+
+    import train_VIGOR
+    from ccvpe_tpu.io.torch_import import save_torch_checkpoint
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.train import harness, loop as train_loop
+
+    cfg = cvm.PRESETS["NANO"]
+    opt = train_loop.make_optimizer()
+    src = train_loop.create_train_state(cfg, jax.random.PRNGKey(3), opt)
+    pt = str(tmp_path / "warm.pt")
+    save_torch_checkpoint(pt, jax.device_get(src.params),
+                          jax.device_get(src.bn_state))
+
+    # the imported state carries the exact saved weights and step 0
+    tr = harness.Trainer(cfg, results_dir=str(tmp_path / "r0"))
+    tr.load_torch_checkpoint(pt)
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal,
+        jax.device_get(tr.state.params), jax.device_get(src.params))
+    assert int(jax.device_get(tr.state.step)) == 0
+
+    train_VIGOR.main([
+        "--dataset_root", synthetic_vigor,
+        "--model_preset", "NANO",
+        "--epochs", "1",
+        "--steps_per_epoch", "2",
+        "-b", "4",
+        "--init_model_path", pt,
+        "--results_dir", str(tmp_path / "results"),
+        "--num_workers", "2",
+    ])
+    assert any("summary.json" in f
+               for f in os.listdir(tmp_path / "results"))
+
+
 @pytest.fixture(scope="module")
 def synthetic_kitti(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("kitti_cli"))

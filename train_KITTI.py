@@ -45,6 +45,10 @@ def parse_args(argv=None):
                         "(native loader only; not bit-identical to PIL, "
                         "never used for eval; also CCVPE_FAST_DECODE=1)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init_model_path", type=str, default="",
+                   help="warm-start training from a reference-format .pt "
+                        "checkpoint (fine-tuning); unlike --resume, optimizer "
+                        "state starts fresh")
     p.add_argument("--test_model_path", type=str,
                    default="models/KITTI/no_orientation_prior/model.pt")
     p.add_argument("--device_augment", action="store_true",
@@ -200,7 +204,12 @@ def main(argv=None):
             for k, v in build_caches(sampler, "train").items():
                 setattr(sampler, k, v)
         if not (args.resume and trainer.resume()):
-            trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
+            if args.init_model_path:
+                # warm-start fine-tuning from a reference-format checkpoint
+                # (fresh optimizer moments, step 0; first save is orbax)
+                trainer.load_torch_checkpoint(args.init_model_path)
+            else:
+                trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
         rng = np.random.default_rng(0)
         for epoch in range(args.epochs):
             order = limit(np.arange(len(index)))

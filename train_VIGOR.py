@@ -51,6 +51,10 @@ def parse_args(argv=None):
                         "(native loader only; not bit-identical to PIL, "
                         "never used for eval; also CCVPE_FAST_DECODE=1)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init_model_path", type=str, default="",
+                   help="warm-start training from a reference-format .pt "
+                        "checkpoint (fine-tuning); unlike --resume, optimizer "
+                        "state starts fresh")
     p.add_argument("--test_model_path", type=str,
                    default="models/VIGOR/samearea/model.pt",
                    help="torch or orbax checkpoint to evaluate")
@@ -166,7 +170,12 @@ def main(argv=None):
             val_idx = val_idx[:args.steps_per_epoch * args.batch_size]
 
         if not (args.resume and trainer.resume()):
-            trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
+            if args.init_model_path:
+                # warm-start fine-tuning from a reference-format checkpoint
+                # (fresh optimizer moments, step 0; first save is orbax)
+                trainer.load_torch_checkpoint(args.init_model_path)
+            else:
+                trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
         rng = np.random.default_rng(0)
 
         dev_train = lambda raw: crop_fov(vigor.device_batch(
