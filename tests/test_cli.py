@@ -357,6 +357,17 @@ def test_profile_dir_captures_trace(synthetic_vigor, tmp_path):
     captured = [p for p in prof.rglob("*") if p.is_file()]
     assert captured, "no trace files captured under --profile_dir"
 
+    # the headless analyzer must attribute real op time from this capture
+    # (CPU backend: ops run on tf_XLA* host threads, envelopes dropped)
+    from ccvpe_tpu.utils import trace_analysis
+
+    durations, _ = trace_analysis.load_device_durations(str(prof))
+    assert durations, "analyzer found no op spans in the captured trace"
+    report = trace_analysis.summarize(durations, iters=3)
+    assert report["device_ms_per_iter"] > 0
+    assert not any("::" in r["name"] for r in report["top_ops"]), \
+        "runtime envelopes leaked into the op attribution"
+
 
 def test_baseline_eval_runner(synthetic_vigor, synthetic_oxford, tmp_path):
     """One command executes the BASELINE.json configs and writes the parity
