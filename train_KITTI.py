@@ -89,6 +89,10 @@ def parse_args(argv=None):
                    help="build/use preprocessed uint8 array caches (ground "
                         "at model size, satmaps raw) for decode-free input "
                         "streaming")
+    p.add_argument("--matching_impl", default="einsum",
+                   choices=("einsum", "pallas", "reference"),
+                   help="orientation-matching kernel (einsum is the "
+                        "measured-best default; see ARCHITECTURE.md)")
     p.add_argument("--model_preset", type=str, default="KITTI")
     return p.parse_args(argv)
 
@@ -124,7 +128,8 @@ def main(argv=None):
         profile_dir=args.profile_dir or None,
         zero1=args.zero1,
         grad_accum=args.grad_accum,
-        n_model=args.n_model)
+        n_model=args.n_model,
+        matching_impl=args.matching_impl)
 
     root = args.dataset_root
     train_file = args.train_file or os.path.join(root, "train_files.txt")

@@ -79,6 +79,10 @@ def parse_args(argv=None):
                    help="build/use a preprocessed uint8 cache of the ground "
                         "frames (the aerial side is already one in-memory "
                         "map)")
+    p.add_argument("--matching_impl", default="einsum",
+                   choices=("einsum", "pallas", "reference"),
+                   help="orientation-matching kernel (einsum is the "
+                        "measured-best default; see ARCHITECTURE.md)")
     p.add_argument("--model_preset", type=str, default="OxfordRobotCar")
     return p.parse_args(argv)
 
@@ -117,7 +121,8 @@ def main(argv=None):
         profile_dir=args.profile_dir or None,
         zero1=args.zero1,
         grad_accum=args.grad_accum,
-        n_model=args.n_model)
+        n_model=args.n_model,
+        matching_impl=args.matching_impl)
 
     dev_train = lambda raw: oxford.device_batch(
         raw, train=True, sat_hw=cfg.sat_hw, bins=cfg.bins)

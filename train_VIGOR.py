@@ -95,6 +95,10 @@ def parse_args(argv=None):
                    help="rematerialize the forward in the backward pass; "
                         "bare --remat checkpoints every block+stage, "
                         "--remat encoder/decoder restricts the scope")
+    p.add_argument("--matching_impl", default="einsum",
+                   choices=("einsum", "pallas", "reference"),
+                   help="orientation-matching kernel (einsum is the "
+                        "measured-best default; see ARCHITECTURE.md)")
     p.add_argument("--model_preset", type=str, default="VIGOR")
     return p.parse_args(argv)
 
@@ -135,7 +139,8 @@ def main(argv=None):
         profile_dir=args.profile_dir or None,
         zero1=args.zero1,
         grad_accum=args.grad_accum,
-        n_model=args.n_model)
+        n_model=args.n_model,
+        matching_impl=args.matching_impl)
 
     grd_hw, sat_hw = cfg.grd_hw, cfg.sat_hw
 
