@@ -82,7 +82,26 @@ def main():
 
     from ccvpe_tpu.models import cvm
 
+    # Watchdog: a dead TPU tunnel makes backend init hang forever inside
+    # jax.devices() (observed in this environment) — emit an honest error
+    # record and exit instead of stalling the driver's round-end bench.
+    import threading
+    init_done = threading.Event()
+
+    def _watchdog():
+        timeout = float(os.environ.get("CCVPE_BENCH_INIT_TIMEOUT", "1800"))
+        if not init_done.wait(timeout):
+            print(json.dumps({
+                "metric": f"{preset} inference throughput",
+                "value": 0.0, "unit": "pairs/sec/chip", "vs_baseline": 0.0,
+                "error": f"device backend failed to initialize within "
+                         f"{timeout:.0f}s (TPU tunnel down?)"}))
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     dev = jax.devices()[0]
+    init_done.set()
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     cfg = cvm.PRESETS[preset]
