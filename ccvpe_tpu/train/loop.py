@@ -141,7 +141,11 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
     wall (B=128 on v5e, see ARCHITECTURE.md) train without multi-chip.
     Matches torch-style accumulation loops: BatchNorm normalizes per
     microbatch (running stats chain through all N), so numerics are
-    microbatch-BN semantics, not single-big-batch BN.
+    microbatch-BN semantics, not single-big-batch BN.  Microbatches are
+    STRIDED slices of the batch (sample i -> microbatch i % N), which keeps
+    each microbatch fully sharded over the mesh's data axis (see the
+    in-body comment for the GSPMD grouped-conv gradient hazard this
+    avoids).
     """
 
     def one_grad(params, bn_state, mb, rng):
@@ -169,9 +173,19 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
             if b % grad_accum:
                 raise ValueError(f"batch {b} must be divisible by "
                                  f"grad_accum={grad_accum}")
+            # STRIDED microbatch composition (sample i -> microbatch
+            # i % grad_accum): the reshape keeps the sharded batch axis
+            # intact, so each scanned microbatch stays fully sharded over
+            # the data axis.  Contiguous chunking (reshape to
+            # [accum, micro, ...]) splits the sharded axis instead, leaving
+            # every microbatch partially REPLICATED across device pairs —
+            # and GSPMD then over-reduces grouped-conv weight gradients
+            # (measured: depthwise grads exactly 2x too large on a 4-way
+            # mesh; same pathology as the batch-replication note in
+            # parallel/mesh.py::data_sharded).
             micro = jax.tree_util.tree_map(
-                lambda x: x.reshape(grad_accum, b // grad_accum,
-                                    *x.shape[1:]), batch)
+                lambda x: x.reshape(b // grad_accum, grad_accum,
+                                    *x.shape[1:]).swapaxes(0, 1), batch)
             rngs = jax.random.split(rng, grad_accum)
             # abstract-eval one microbatch to learn the grad dtypes and the
             # loss-parts structure (keeps this path in sync with whatever

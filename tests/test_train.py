@@ -110,6 +110,41 @@ def test_hybrid_tensor_parallel_matches_single_device(tiny_setup):
             assert abs(a - b) < tol * max(1.0, abs(a)), (i, k, a, b)
 
 
+def test_grad_accum_on_mesh_matches_single_device(tiny_setup):
+    """--grad_accum under a sharded mesh: the in-jit microbatch scan must
+    reproduce single-device grad-accum numerics (the reshape to
+    [accum, micro, ...] re-lays the sharded batch; a layout change, not a
+    semantics change)."""
+    cfg, opt, state0, batch = tiny_setup
+    step = train_loop.make_train_step(cfg, opt, grad_accum=2)
+
+    s_single, parts_single = jax.jit(step, donate_argnums=())(
+        state0, batch, jax.random.PRNGKey(7))
+    parts_single = jax.device_get(parts_single)
+
+    # 4-way data mesh: each microbatch of 4 still divides the mesh
+    mesh = mesh_lib.create_mesh(n_data=4)
+    compiled = train_loop.compile_train_step(step, mesh, donate=False)
+    s_mesh = mesh_lib.replicate(mesh, state0)
+    batch_s = mesh_lib.shard_batch(mesh, batch)
+    s_mesh, parts_mesh = compiled(s_mesh, batch_s, jax.random.PRNGKey(7))
+    parts_mesh = jax.device_get(parts_mesh)
+
+    for k in parts_single:
+        a, b = float(parts_single[k]), float(parts_mesh[k])
+        tol = 1e-3 if k == "grad_norm" else 1e-4
+        assert abs(a - b) < tol * max(1.0, abs(a)), (k, a, b)
+    # updated params agree.  Tolerance is in lr units (1e-4): Adam's
+    # m/sqrt(v) normalization turns reduction-order noise on near-zero
+    # gradients (e.g. final-conv biases, whose true grad is exactly 0)
+    # into full-size update-direction flips, so single-vs-mesh drift up to
+    # a couple of lr on those leaves is expected float behavior.
+    err = jax.tree_util.tree_map(
+        lambda x, y: float(np.max(np.abs(x - y))),
+        jax.device_get(s_single.params), jax.device_get(s_mesh.params))
+    assert max(jax.tree_util.tree_leaves(err)) < 1e-3
+
+
 def test_zero1_matches_replicated(tiny_setup):
     """ZeRO-1 data-axis sharding of the optimizer state is a layout choice:
     two train steps must reproduce the replicated-state numerics (loss,
