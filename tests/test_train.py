@@ -73,7 +73,10 @@ def test_data_parallel_matches_single_device(tiny_setup):
 
     for k in parts_single:
         a, b = float(parts_single[k]), float(parts_shard[k])
-        assert abs(a - b) < 2e-2 * max(1.0, abs(a)), (k, a, b)
+        # measured drift is <=2e-6 on every part incl. grad_norm; keep the
+        # bound tight so mis-reduced gradients (the GSPMD grouped-conv
+        # hazard, see loop.py grad-accum comment) cannot hide inside it
+        assert abs(a - b) < 1e-4 * max(1.0, abs(a)), (k, a, b)
 
 
 def test_hybrid_tensor_parallel_matches_single_device(tiny_setup):
