@@ -148,6 +148,24 @@ def test_grad_accum_on_mesh_matches_single_device(tiny_setup):
     assert max(jax.tree_util.tree_leaves(err)) < 1e-3
 
 
+def test_remat_grad_accum_zero1_compose(tiny_setup):
+    """The three perf levers a production run stacks (--remat encoder
+    --grad_accum 2 --zero1) must compose in one jitted step on a mesh."""
+    cfg, opt, state0, batch = tiny_setup
+    step = train_loop.make_train_step(cfg, opt, remat="encoder",
+                                      grad_accum=2)
+    mesh = mesh_lib.create_mesh(n_data=4)
+    shardings = mesh_lib.zero1_state_shardings(state0, mesh, min_size=1000)
+    s = jax.tree_util.tree_map(jax.device_put, state0, shardings)
+    compiled = train_loop.compile_train_step(step, mesh, donate=False,
+                                             state_shardings=shardings)
+    s, parts = compiled(s, mesh_lib.shard_batch(mesh, batch),
+                        jax.random.PRNGKey(9))
+    assert int(jax.device_get(s.step)) == 1
+    for k, v in jax.device_get(parts).items():
+        assert np.isfinite(float(v)), k
+
+
 def test_zero1_matches_replicated(tiny_setup):
     """ZeRO-1 data-axis sharding of the optimizer state is a layout choice:
     two train steps must reproduce the replicated-state numerics (loss,
