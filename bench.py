@@ -87,9 +87,16 @@ def main():
     # record and exit instead of stalling the driver's round-end bench.
     import threading
     init_done = threading.Event()
+    try:
+        init_timeout = float(os.environ.get("CCVPE_BENCH_INIT_TIMEOUT",
+                                            "1800"))
+    except ValueError:
+        print("warning: bad CCVPE_BENCH_INIT_TIMEOUT, using 1800s",
+              file=sys.stderr)
+        init_timeout = 1800.0
 
     def _watchdog():
-        timeout = float(os.environ.get("CCVPE_BENCH_INIT_TIMEOUT", "1800"))
+        timeout = init_timeout
         if not init_done.wait(timeout):
             print(json.dumps({
                 "metric": f"{preset} inference throughput",

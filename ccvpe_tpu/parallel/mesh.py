@@ -52,8 +52,8 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
     mesh and comes out exactly n_model times too large (measured on the
     EfficientNet depthwise kernels; regular convs are unaffected).  Sharding
     the batch over both axes leaves no partially-replicated activations, so
-    every collective GSPMD inserts is semantically forced.  The global batch
-    must divide the total device count."""
+    every collective GSPMD inserts is semantically forced.  The total
+    device count must divide the global batch."""
     return NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
 
 

@@ -73,10 +73,23 @@ class Trainer:
                     f"mesh)")
             n = n_dev // n_model
             if batch_size:
-                while n > 1 and batch_size % (n * n_model):
+                # with grad accumulation each MICROBATCH must divide the
+                # mesh too — a partially-replicated microbatch makes GSPMD
+                # over-reduce grouped-conv weight grads (see loop.py)
+                while n > 1 and batch_size % (n * n_model * grad_accum):
                     n -= 1
             mesh = mesh_lib.create_mesh(n_data=n, n_model=n_model)
         self.mesh = mesh
+        if batch_size and grad_accum > 1:
+            mesh_size = int(np.prod(list(dict(mesh.shape).values())))
+            if batch_size % (mesh_size * grad_accum):
+                raise ValueError(
+                    f"global batch {batch_size} with grad_accum="
+                    f"{grad_accum} leaves microbatches of "
+                    f"{batch_size // grad_accum} that do not divide the "
+                    f"{mesh_size}-device mesh; every microbatch must "
+                    f"divide the mesh (batch % (mesh * grad_accum) == 0) "
+                    f"or grouped-conv gradients mis-reduce")
         self.n_model = dict(mesh.shape).get(mesh_lib.MODEL_AXIS, 1)
         import jax.numpy as jnp
 
@@ -93,6 +106,7 @@ class Trainer:
 
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             compute_dtype]
+        self.matching_impl = matching_impl
         self._step_fn = train_loop.make_train_step(
             model_cfg, self.optimizer, weight_info_nce=weight_info_nce,
             weight_ori=weight_ori, remat=remat, compute_dtype=dtype,
@@ -263,12 +277,15 @@ class Trainer:
                 params_sharding=sh.params if sh is not None else None,
                 bn_sharding=sh.bn_state if sh is not None else None)
             if readout:
-                fn = train_loop.make_eval_readout_step(self.model_cfg,
-                                                       loc_offsets)
+                fn = train_loop.make_eval_readout_step(
+                    self.model_cfg, loc_offsets,
+                    matching_impl=self.matching_impl)
                 self._eval_steps[key] = train_loop.compile_eval_readout_step(
                     fn, self.mesh, **kw)
             else:
-                fn = train_loop.make_eval_step(self.model_cfg, loc_offsets)
+                fn = train_loop.make_eval_step(
+                    self.model_cfg, loc_offsets,
+                    matching_impl=self.matching_impl)
                 self._eval_steps[key] = train_loop.compile_eval_step(
                     fn, self.mesh, **kw)
         return self._eval_steps[key]

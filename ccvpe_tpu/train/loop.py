@@ -221,18 +221,21 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
     return train_step
 
 
-def make_eval_step(model_cfg: cvm.CVMConfig, loc_offsets=None):
+def make_eval_step(model_cfg: cvm.CVMConfig, loc_offsets=None,
+                   matching_impl: str = "einsum"):
     """Eval forward (BN in inference mode, optional orientation prior)."""
 
     def eval_step(params, bn_state, grd, sat):
         out, _ = cvm.forward(model_cfg, params, bn_state, grd, sat,
-                             train=False, loc_offsets=loc_offsets)
+                             train=False, loc_offsets=loc_offsets,
+                             matching_impl=matching_impl)
         return out
 
     return eval_step
 
 
-def make_eval_readout_step(model_cfg: cvm.CVMConfig, loc_offsets=None):
+def make_eval_readout_step(model_cfg: cvm.CVMConfig, loc_offsets=None,
+                           matching_impl: str = "einsum"):
     """Eval forward fused with the on-device pose readout: returns the
     per-sample scalar dict directly, and because the readout works from raw
     logits, the 512x512 softmax heatmap is dead code inside the jit."""
@@ -240,7 +243,8 @@ def make_eval_readout_step(model_cfg: cvm.CVMConfig, loc_offsets=None):
 
     def eval_step(params, bn_state, grd, sat, gt, omap):
         out, _ = cvm.forward(model_cfg, params, bn_state, grd, sat,
-                             train=False, loc_offsets=loc_offsets)
+                             train=False, loc_offsets=loc_offsets,
+                             matching_impl=matching_impl)
         return pose_readout_from_outputs(out, gt, omap)
 
     return eval_step

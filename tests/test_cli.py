@@ -117,6 +117,7 @@ def test_train_vigor_warmstart_from_torch(synthetic_vigor, tmp_path,
         "--steps_per_epoch", "2",
         "-b", "4",
         "--init_model_path", pt,
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
         "--results_dir", str(tmp_path / "results"),
         "--num_workers", "2",
     ])

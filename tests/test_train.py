@@ -480,6 +480,48 @@ def test_remat_scope_typo_rejected(tiny_setup):
         jax.eval_shape(step, state, batch, jax.random.PRNGKey(0))
 
 
+def test_eval_steps_use_trainer_matching_impl(monkeypatch):
+    """Trainer(matching_impl=...) must reach BOTH eval-step builders, not
+    just the train step (a user selecting --matching_impl for eval would
+    otherwise silently benchmark einsum)."""
+    from ccvpe_tpu.train import harness
+
+    seen = {}
+    orig_ro = train_loop.make_eval_readout_step
+    orig_ev = train_loop.make_eval_step
+
+    def spy_ro(cfg, loc_offsets=None, matching_impl="einsum"):
+        seen["readout"] = matching_impl
+        return orig_ro(cfg, loc_offsets, matching_impl=matching_impl)
+
+    def spy_ev(cfg, loc_offsets=None, matching_impl="einsum"):
+        seen["full"] = matching_impl
+        return orig_ev(cfg, loc_offsets, matching_impl=matching_impl)
+
+    monkeypatch.setattr(train_loop, "make_eval_readout_step", spy_ro)
+    monkeypatch.setattr(train_loop, "make_eval_step", spy_ev)
+    tr = harness.Trainer(cvm.NANO, matching_impl="reference",
+                         results_dir="/tmp/unused")
+    tr._get_eval_step(None, readout=True)   # jit is lazy: no compile here
+    tr._get_eval_step(None, readout=False)
+    assert seen == {"readout": "reference", "full": "reference"}
+
+
+def test_trainer_rejects_microbatch_not_dividing_mesh():
+    """batch % (mesh * grad_accum) != 0 must be rejected up front: a
+    partially-replicated microbatch mis-reduces grouped-conv grads (see
+    loop.py).  8 devices, batch 8, grad_accum 2 -> microbatches of 4."""
+    from ccvpe_tpu.train.harness import Trainer
+
+    with pytest.raises(ValueError, match="microbatch"):
+        Trainer(cvm.NANO, mesh=mesh_lib.create_mesh(),  # explicit 8-dev mesh
+                batch_size=8, grad_accum=2, results_dir="/tmp/unused")
+    # the auto-fit path shrinks the data axis instead of raising
+    tr = Trainer(cvm.NANO, batch_size=8, grad_accum=2,
+                 results_dir="/tmp/unused")
+    assert 8 % (len(tr.mesh.devices.flat) * 2) == 0
+
+
 def test_grad_accum_approximates_full_batch(tiny_setup):
     """grad_accum=N averages per-microbatch grads (torch-style accumulation:
     BN normalizes per microbatch, so parity with the single big batch is
