@@ -139,6 +139,17 @@ def main():
         print(f"device-only: {device_only:8.1f} pairs/s", flush=True)
 
         # -- fed-chip variants -------------------------------------------
+        def timed(batches) -> tuple[float, int]:
+            t0 = time.perf_counter()
+            pending, n_pairs = [], 0
+            for batch in batches:
+                pending.append(run_step(batch))
+                n_pairs += int(batch["gt"].shape[0])
+                if len(pending) > 2:  # keep the dispatch queue bounded
+                    sync(pending.pop(0))
+            sync(pending)
+            return time.perf_counter() - t0, n_pairs
+
         modes = [("python", False, False, False),
                  ("native", True, False, False),
                  ("native-fast", True, True, False),
@@ -148,27 +159,28 @@ def main():
                 print("native loader unavailable:",
                       native_loader.build_error(), flush=True)
                 continue
-            t0 = time.perf_counter()
-            pending, n_pairs = [], 0
-            for raw in make_loader(native, fast, cached):
-                pending.append(run_step(dev_batch(raw)))
-                n_pairs += int(raw["grd"].shape[0])
-                if len(pending) > 2:  # keep the dispatch queue bounded
-                    sync(pending.pop(0))
-            sync(pending)
-            dt = time.perf_counter() - t0
-            fed = n_pairs / dt
-            rec = {
-                "metric": f"fed-chip {args.mode} throughput ({name} loader, "
-                          f"batch {args.batch}, {args.workers} workers)",
-                "value": round(fed, 1),
-                "unit": "pairs/sec/chip",
-                "device_only_pairs_per_sec": round(device_only, 1),
-                "chip_utilization_pct": round(100 * fed / device_only, 1),
-                "host_cores": os.cpu_count(),
-            }
-            records.append(rec)
-            print(json.dumps(rec), flush=True)
+            # plain: device-batch assembly inline in the consumer loop, and
+            # +prefetch: the production path since r4 — assembly + H2D run
+            # one batch ahead in a producer thread (harness.train_epoch /
+            # evaluate use the same pipeline.device_prefetch helper)
+            for tag, batches in (
+                    ("", map(dev_batch, make_loader(native, fast, cached))),
+                    ("+prefetch", pipeline.device_prefetch(
+                        make_loader(native, fast, cached), dev_batch))):
+                dt, n_pairs = timed(batches)
+                fed = n_pairs / dt
+                rec = {
+                    "metric": f"fed-chip {args.mode} throughput ({name}"
+                              f"{tag} loader, batch {args.batch}, "
+                              f"{args.workers} workers)",
+                    "value": round(fed, 1),
+                    "unit": "pairs/sec/chip",
+                    "device_only_pairs_per_sec": round(device_only, 1),
+                    "chip_utilization_pct": round(100 * fed / device_only, 1),
+                    "host_cores": os.cpu_count(),
+                }
+                records.append(rec)
+                print(json.dumps(rec), flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(cache_dir, ignore_errors=True)

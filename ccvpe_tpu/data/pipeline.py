@@ -178,6 +178,83 @@ class Loader:
                 except queue.Empty:
                     break
             thread.join(timeout=30)
+            if thread.is_alive():
+                # a producer wedged in sample_fn (stuck I/O) outlives the
+                # iterator; make the leak visible instead of silent
+                import warnings
+
+                warnings.warn(
+                    "Loader producer thread still alive 30s after the "
+                    "consumer abandoned iteration (sample_fn stuck?); "
+                    "thread leaked", RuntimeWarning)
+
+
+def device_prefetch(iterable, fn, depth: int = 1):
+    """Map ``fn`` over ``iterable`` with a one-item device-side lookahead.
+
+    ``fn`` is the host->device batch assembly (``device_batch_fn`` +
+    ``mesh.shard_batch``): running it in a producer thread issues batch
+    N+1's numpy work and H2D transfer while the consumer's step N runs on
+    device.  numpy, PIL and ``jax.device_put`` all release the GIL, so the
+    overlap is real.  ``depth`` bounds undelivered batches (device memory:
+    at most ``depth + 2`` input batches resident — queued, consuming,
+    building).
+
+    Multi-host safe: a single producer thread preserves the deterministic
+    per-process call order ``jax.make_array_from_process_local_data``
+    requires.  Errors in ``fn`` or the upstream iterable propagate to the
+    consumer; abandoning iteration releases the producer.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    closed = threading.Event()
+
+    def put(item) -> bool:
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            for item in iterable:
+                if not put(fn(item)):
+                    return
+        except BaseException as e:
+            put(e)
+        finally:
+            put(sentinel)
+
+    thread = threading.Thread(target=produce, daemon=True,
+                              name="device-prefetch")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        thread.join()
+    finally:
+        closed.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=30)
+        if thread.is_alive():
+            import warnings
+
+            warnings.warn(
+                "device_prefetch producer thread still alive 30s after "
+                "the consumer abandoned iteration; thread leaked",
+                RuntimeWarning)
 
 
 def epoch_indices(n: int, *, shuffle: bool, rng: np.random.Generator):

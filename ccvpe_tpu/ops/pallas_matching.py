@@ -41,7 +41,11 @@ def _kernel(x_ref, w_ref, m_ref, g_ref, out_ref, *, full_window: bool):
         sq = jnp.dot(x * x, m_ref[:].astype(jnp.float32),
                      preferred_element_type=jnp.float32)  # [T, bins]
     gnorm = g_ref[pl.program_id(0), 0]
-    out_ref[0] = (num / (jnp.sqrt(sq) * gnorm)).astype(out_ref.dtype)
+    # padded zero rows (pad-and-slice tiling) reach here with sq == 0; the
+    # results are sliced off but a bare divide makes 0/0 NaNs that trip
+    # interpret-mode FP warnings and debug_nans — clamp like l2_normalize
+    out_ref[0] = (num / jnp.maximum(jnp.sqrt(sq) * gnorm, 1e-12)
+                  ).astype(out_ref.dtype)
 
 
 def _pick_tile(hw: int, cs: int, budget_bytes: int = 1 << 21,
@@ -178,7 +182,9 @@ def _kernel_fused(x_ref, w_ref, g_ref, scores_ref, smax_ref, xnorm_ref):
     num = jnp.dot(x, w_ref[0].astype(jnp.float32),
                   preferred_element_type=jnp.float32)     # [T, bins]
     gnorm = g_ref[pl.program_id(0), 0]
-    scores = num / (norm * gnorm)
+    # clamp: padded zero rows otherwise produce 0/0 NaNs (sliced off, but
+    # they trip interpret-mode FP warnings and debug_nans)
+    scores = num / jnp.maximum(norm * gnorm, 1e-12)
     scores_ref[0] = scores.astype(scores_ref.dtype)
     # cast after the f32 max: rounding is monotonic, so this equals the max
     # over the cast stack bit-for-bit

@@ -22,9 +22,26 @@ MODEL_AXIS = "model"
 
 def maybe_init_distributed():
     """Multi-host init when launched under a JAX distributed environment
-    (no-op single-host)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    (no-op single-host).
+
+    MUST run before any other JAX API: ``jax.distributed.initialize()``
+    hard-raises once any XLA backend exists, and even innocuous-looking
+    calls like ``jax.process_count()`` initialize a backend.  So the gate
+    here is the env var plus ``jax.distributed.is_initialized()`` (a pure
+    state check) — never a device/process query.
+
+    On TPU pods the process count/id come from JAX's cluster auto-detection
+    (GCE/GKE metadata).  Off-pod launches (bare-metal hosts, the CI
+    two-process CLI test) have no detector, so ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` are honored explicitly when set."""
+    if (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            and not jax.distributed.is_initialized()):
+        kwargs = {}
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if nproc is not None and pid is not None:
+            kwargs = dict(num_processes=int(nproc), process_id=int(pid))
+        jax.distributed.initialize(**kwargs)
 
 
 def create_mesh(n_data: int | None = None, n_model: int = 1,

@@ -44,6 +44,10 @@ def _decode_image(b64: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), np.uint8)
 
 
+class ServiceOverloaded(Exception):
+    """Request rejected: the admission queue is full (client sees 503)."""
+
+
 class MicroBatcher:
     """Coalesce concurrent requests into one fixed-shape device batch.
 
@@ -54,10 +58,16 @@ class MicroBatcher:
     ``predict_batch``, and fans the poses back out.  Latency under load
     amortizes the forward across the whole batch (the batch-128 forward is
     ~9x cheaper per pair than batch-1, see ARCHITECTURE.md).
+
+    Backpressure: the queue is BOUNDED (``queue_depth``, default 4 batches).
+    A flood beyond it is rejected immediately with ``ServiceOverloaded``
+    (HTTP 503) instead of growing an unbounded backlog of decoded images —
+    the client retries against a server that is keeping up.
     """
 
     def __init__(self, model, batch: int, max_wait_ms: float = 5.0,
-                 ori_noise: float = 180.0, fov: float = 360.0):
+                 ori_noise: float = 180.0, fov: float = 360.0,
+                 queue_depth: int | None = None):
         self.model = model
         self.batch = batch
         self.max_wait_s = max_wait_ms / 1e3
@@ -65,16 +75,27 @@ class MicroBatcher:
         self.fov = fov
         self.dispatches = 0     # device batches run (observability/tests)
         self.items_served = 0   # requests served across those batches
-        self._queue: "queue.Queue" = queue.Queue()
+        self.rejections = 0     # overload rejections (503s)
+        self._queue: "queue.Queue" = queue.Queue(
+            maxsize=queue_depth if queue_depth else 4 * batch)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def queue_depth(self) -> int:
+        return self._queue.qsize()
+
     def submit(self, grd: np.ndarray, sat: np.ndarray,
                return_heatmap: bool):
-        """Blocking: returns the Pose for this request."""
+        """Blocking: returns the Pose for this request.  Raises
+        ``ServiceOverloaded`` without blocking when the queue is full."""
         event = threading.Event()
         slot: dict = {}
-        self._queue.put((grd, sat, return_heatmap, event, slot))
+        try:
+            self._queue.put_nowait((grd, sat, return_heatmap, event, slot))
+        except queue.Full:
+            self.rejections += 1  # GIL-atomic enough for a counter
+            raise ServiceOverloaded(
+                f"micro-batch queue full ({self._queue.maxsize} pending)")
         event.wait()
         if "error" in slot:
             raise slot["error"]
@@ -129,10 +150,17 @@ class PoseService:
     only around the device dispatch; jax execution is thread-safe)."""
 
     def __init__(self, model, preset: str, batch: int = 1,
-                 max_wait_ms: float = 5.0, max_batcher_keys: int = 8):
+                 max_wait_ms: float = 5.0, max_batcher_keys: int = 8,
+                 queue_depth: int | None = None, max_pending: int = 64):
         self.model = model
         self.preset = preset
         self.lock = threading.Lock()
+        self.queue_depth = queue_depth
+        # single-pair path admission cap: ThreadingHTTPServer spawns a
+        # thread per connection, so without a bound a flood parks unbounded
+        # threads (each holding decoded images) on self.lock
+        self._pending = threading.Semaphore(max_pending)
+        self._rejections_direct = 0
         # batch > 1: route /predict traffic through one micro-batcher per
         # (ori_noise, fov) key, created lazily — requests overriding the
         # defaults still batch among themselves instead of collapsing to the
@@ -165,7 +193,8 @@ class PoseService:
                 if len(self.batchers) >= self.max_batcher_keys:
                     return None
                 b = MicroBatcher(self.model, self.batch, self.max_wait_ms,
-                                 ori_noise=ori_noise, fov=fov)
+                                 ori_noise=ori_noise, fov=fov,
+                                 queue_depth=self.queue_depth)
                 self.batchers[key] = b
             return b
 
@@ -194,6 +223,15 @@ class PoseService:
             requests, errors = self._requests, self._errors
         out = {"requests": requests, "errors": errors,
                "latency_window": len(lat)}
+        # overload observability: live queue depth + cumulative 503s
+        depth, rejections = 0, self._rejections_direct
+        if self.batchers is not None:
+            with self._batchers_lock:
+                for b in self.batchers.values():
+                    depth += b.queue_depth()
+                    rejections += b.rejections
+        out["queue_depth"] = depth
+        out["rejections"] = rejections
         if lat:
             lat.sort()
             out["latency_ms"] = {
@@ -222,6 +260,8 @@ class PoseService:
             self._requests += 1
         try:
             out = self._predict(payload)
+        except ServiceOverloaded:
+            raise  # counted in rejections, not errors
         except Exception:
             with self._stats_lock:
                 self._errors += 1
@@ -249,10 +289,17 @@ class PoseService:
                                   _prepare(sat, cfg.sat_hw),
                                   return_heatmap)
         else:
-            with self.lock:  # one compiled-forward dispatch at a time
-                pose = self.model.predict(grd, sat, ori_noise=ori_noise,
-                                          fov=fov,
-                                          return_heatmap=return_heatmap)
+            if not self._pending.acquire(blocking=False):
+                self._rejections_direct += 1
+                raise ServiceOverloaded(
+                    "too many in-flight single-pair requests")
+            try:
+                with self.lock:  # one compiled-forward dispatch at a time
+                    pose = self.model.predict(grd, sat, ori_noise=ori_noise,
+                                              fov=fov,
+                                              return_heatmap=return_heatmap)
+            finally:
+                self._pending.release()
         out = {"row": pose.row, "col": pose.col,
                "orientation_deg": (None if math.isnan(pose.orientation_deg)
                                    else pose.orientation_deg),
@@ -260,6 +307,51 @@ class PoseService:
         if return_heatmap:
             out["heatmap"] = np.asarray(pose.heatmap).tolist()
         return out
+
+
+def load_calibration_pairs(calib_dir: str, cfg, n: int = 16):
+    """Real-sample int8 calibration set from a directory of image pairs.
+
+    Accepts either ``<stem>_grd.<ext>`` + ``<stem>_sat.<ext>`` flat files or
+    ``grd/`` + ``sat/`` subdirectories with matching filenames.  Images are
+    resized to the model's input shapes; returns the one-batch ``calib``
+    list ``api.CVMModel.quantize_int8`` takes.
+    """
+    import os
+
+    from PIL import Image
+
+    from .api import _prepare
+
+    def read(path):
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
+
+    pairs = []
+    gdir, sdir = (os.path.join(calib_dir, d) for d in ("grd", "sat"))
+    if os.path.isdir(gdir) and os.path.isdir(sdir):
+        for name in sorted(os.listdir(gdir)):
+            spath = os.path.join(sdir, name)
+            if os.path.exists(spath):
+                pairs.append((os.path.join(gdir, name), spath))
+    else:
+        stems: dict[str, dict] = {}
+        for name in sorted(os.listdir(calib_dir)):
+            stem, ext = os.path.splitext(name)
+            for kind in ("grd", "sat"):
+                if stem.endswith(f"_{kind}"):
+                    stems.setdefault(stem[:-4], {})[kind] = os.path.join(
+                        calib_dir, name)
+        pairs = [(v["grd"], v["sat"]) for v in stems.values()
+                 if len(v) == 2]
+    if not pairs:
+        raise FileNotFoundError(
+            f"no calibration pairs in {calib_dir} (expected grd/+sat/ "
+            f"subdirs or <stem>_grd.<ext>/<stem>_sat.<ext> files)")
+    pairs = pairs[:n]
+    grd = np.stack([_prepare(read(g), cfg.grd_hw) for g, _ in pairs])
+    sat = np.stack([_prepare(read(s), cfg.sat_hw) for _, s in pairs])
+    return [(grd, sat)]
 
 
 def make_handler(service: PoseService):
@@ -290,6 +382,8 @@ def make_handler(service: PoseService):
                 self._send(200, service.predict(payload))
             except KeyError as e:
                 self._send(400, {"error": f"missing field {e}"})
+            except ServiceOverloaded as e:
+                self._send(503, {"error": str(e), "retry": True})
             except Exception as e:  # noqa: BLE001 — report, don't crash
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -327,10 +421,21 @@ def main(argv=None):
                     help="compile the default forward before serving")
     ap.add_argument("--quantize", default="", choices=["", "int8"],
                     help="post-training quantization of the serving model "
-                         "(int8: MXU 2x-rate conv path, nn/quant.py; "
-                         "calibrated on synthetic ranges — pass real "
-                         "samples via api.CVMModel.quantize_int8 for "
-                         "deployment-grade calibration)")
+                         "(int8: MXU 2x-rate conv path, nn/quant.py); "
+                         "pass --calib_dir for deployment-grade activation "
+                         "scales — without it calibration uses ONE "
+                         "synthetic uniform-noise batch and real-image "
+                         "pose accuracy can degrade")
+    ap.add_argument("--calib_dir", default="",
+                    help="directory of real image pairs for int8 activation "
+                         "calibration: <stem>_grd.<ext> + <stem>_sat.<ext> "
+                         "files, or grd/ and sat/ subdirectories with "
+                         "matching names")
+    ap.add_argument("--calib_samples", type=int, default=16,
+                    help="max pairs read from --calib_dir")
+    ap.add_argument("--queue_depth", type=int, default=0,
+                    help="micro-batcher admission queue bound (default "
+                         "4x batch); beyond it requests get 503")
     args = ap.parse_args(argv)
 
     from . import api
@@ -339,10 +444,22 @@ def main(argv=None):
                            matching_impl=args.matching_impl,
                            mesh=args.mesh or None)
     if args.quantize == "int8":
-        model.quantize_int8()
-        print("model quantized: int8 PTQ (synthetic calibration)")
+        if args.calib_dir:
+            calib = load_calibration_pairs(args.calib_dir, model.cfg,
+                                           args.calib_samples)
+            model.quantize_int8(calib)
+            print(f"model quantized: int8 PTQ calibrated on "
+                  f"{int(calib[0][0].shape[0])} real pairs "
+                  f"from {args.calib_dir}")
+        else:
+            model.quantize_int8()
+            print("WARNING: int8 PTQ calibrated on ONE synthetic "
+                  "uniform-noise batch; real-image activation ranges can "
+                  "differ materially and pose accuracy may degrade — pass "
+                  "--calib_dir with real samples before production use")
     service = PoseService(model, args.preset, batch=args.batch,
-                          max_wait_ms=args.max_wait_ms)
+                          max_wait_ms=args.max_wait_ms,
+                          queue_depth=args.queue_depth or None)
     if args.warmup:
         cfg = model.cfg
         rng = np.random.default_rng(0)

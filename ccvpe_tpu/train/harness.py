@@ -110,7 +110,8 @@ class Trainer:
         self._step_fn = train_loop.make_train_step(
             model_cfg, self.optimizer, weight_info_nce=weight_info_nce,
             weight_ori=weight_ori, remat=remat, compute_dtype=dtype,
-            matching_impl=matching_impl, grad_accum=grad_accum)
+            matching_impl=matching_impl, grad_accum=grad_accum,
+            mesh_size=self.mesh.size)
         # compiled lazily: TP state shardings depend on the state tree
         self._train_step = None
         self._state_shardings = None
@@ -214,13 +215,21 @@ class Trainer:
         trace_start = 10 if (n_batches is None or n_batches > 13) else 0
         tracing = False
         parts = None
-        for i, raw in enumerate(loader):
+        # one-batch device-side lookahead: batch N+1's host assembly + H2D
+        # transfer run in a producer thread while step N executes (async
+        # dispatch overlaps the *dispatch*; this overlaps the numpy +
+        # device_put work too, keeping the main thread free to dispatch)
+        from ..data.pipeline import device_prefetch
+
+        feed = device_prefetch(
+            loader,
+            lambda raw: mesh_lib.shard_batch(self.mesh,
+                                             device_batch_fn(raw)))
+        for i, batch in enumerate(feed):
             timer.start()
             if self.profile_dir and not self._profiled and i == trace_start:
                 jax.profiler.start_trace(self.profile_dir)
                 tracing = True
-            batch = device_batch_fn(raw)
-            batch = mesh_lib.shard_batch(self.mesh, batch)
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, parts = train_step(self.state, batch, step_rng)
             if tracing and i == trace_start + 3:
@@ -321,9 +330,7 @@ class Trainer:
                 orientation_from_north=head_g if with_heading else None)
             pairs += int(mpp_g.shape[0])
 
-        for raw in loader:
-            batch = device_batch_fn(raw)
-            b_local = int(batch["gt"].shape[0])
+        def side_fields(raw, b_local):
             if cities_to_mpp is not None:
                 mpp_local = np.asarray(
                     [cities_to_mpp[c] for c in raw["city"]], np.float32)
@@ -332,23 +339,47 @@ class Trainer:
             heading_local = (
                 np.asarray(raw["orientation_from_north"], np.float32)
                 if with_heading else np.zeros(b_local, np.float32))
-            if device_readout:
-                # assemble the GLOBAL batch for every field the readout
-                # touches (multi-host: each process contributes its local
-                # slice), reduce to per-sample pose scalars inside the eval
-                # jit (softmax heatmap never materializes), then fetch the
-                # small global result everywhere
-                grd, sat, gt, omap, mpp_d, head_d = mesh_lib.shard_batch(
+            return mpp_local, heading_local
+
+        if device_readout:
+            # assemble the GLOBAL batch for every field the readout touches
+            # (multi-host: each process contributes its local slice), reduce
+            # to per-sample pose scalars inside the eval jit (softmax heatmap
+            # never materializes), then fetch the small global result
+            # everywhere.  Input assembly + H2D ride a one-batch lookahead
+            # thread (device_prefetch) so they overlap the running forward;
+            # the readout fetch is double-buffered below — both directions of
+            # the host round-trip hide behind device compute.
+            from ..data.pipeline import device_prefetch
+
+            def prepare(raw):
+                batch = device_batch_fn(raw)
+                mpp_local, heading_local = side_fields(
+                    raw, int(batch["gt"].shape[0]))
+                return mesh_lib.shard_batch(
                     self.mesh, (batch["grd"], batch["sat"], batch["gt"],
                                 batch["orientation"], mpp_local,
                                 heading_local))
+
+            for grd, sat, gt, omap, mpp_d, head_d in device_prefetch(
+                    loader, prepare):
                 r = dict(step(self.state.params, self.state.bn_state, grd,
                               sat, gt, omap),
                          mpp=mpp_d, heading=head_d)
                 if pending is not None:
                     flush(pending)
                 pending = r
-            elif jax.process_count() > 1:
+            if pending is not None:
+                flush(pending)
+            summary = acc.summary()
+            summary["pairs_per_sec"] = pairs / max(time.time() - t0, 1e-9)
+            return summary
+
+        for raw in loader:
+            batch = device_batch_fn(raw)
+            b_local = int(batch["gt"].shape[0])
+            mpp_local, heading_local = side_fields(raw, b_local)
+            if jax.process_count() > 1:
                 # full-heatmap (debug/parity) path, multi-host.  Every field
                 # rides the same global-array assembly as the model inputs,
                 # so fetch_global materializes the complete global batch of
@@ -380,14 +411,17 @@ class Trainer:
                            orientation_from_north=(
                                heading_local if with_heading else None))
                 pairs += b_local
-        if pending is not None:
-            flush(pending)
         summary = acc.summary()
         summary["pairs_per_sec"] = pairs / max(time.time() - t0, 1e-9)
         return summary
 
     def write_epoch_results(self, epoch: int, summary: dict,
                             prefix: str = ""):
+        # multi-host: every process computes identical metrics
+        # (mesh.fetch_global); only process 0 writes, or a pod run appends
+        # process_count duplicates of every line to shared storage
+        if jax.process_index() != 0:
+            return
         mapping = {
             "mean_distance_m": "mean_distance_error",
             "median_distance_m": "median_distance_error",

@@ -120,7 +120,8 @@ def train_state_from_torch(state_dict, optimizer,
 def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
                     weight_info_nce: float = 1e4, weight_ori: float = 1e1,
                     remat: bool | str = False, compute_dtype=jnp.float32,
-                    matching_impl: str = "einsum", grad_accum: int = 1):
+                    matching_impl: str = "einsum", grad_accum: int = 1,
+                    mesh_size: int = 1):
     """Build the jittable train step.
 
     batch dict (NHWC): grd, sat, gt [B,H,W], bin_weights [B,bins],
@@ -173,6 +174,17 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
             if b % grad_accum:
                 raise ValueError(f"batch {b} must be divisible by "
                                  f"grad_accum={grad_accum}")
+            # trace-time guard (shapes are static under jit, so this fires
+            # for ANY caller, not just CLIs that pass batch_size up front):
+            # a microbatch that does not divide the mesh ends up partially
+            # replicated and GSPMD over-reduces grouped-conv weight grads
+            # (see the strided-composition comment below)
+            if mesh_size > 1 and (b // grad_accum) % mesh_size:
+                raise ValueError(
+                    f"microbatch {b // grad_accum} (batch {b} / grad_accum="
+                    f"{grad_accum}) does not divide the {mesh_size}-device "
+                    f"mesh; grouped-conv gradients would mis-reduce — use a "
+                    f"batch with batch % (mesh * grad_accum) == 0")
             # STRIDED microbatch composition (sample i -> microbatch
             # i % grad_accum): the reshape keeps the sharded batch axis
             # intact, so each scanned microbatch stays fully sharded over

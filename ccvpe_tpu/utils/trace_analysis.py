@@ -105,8 +105,11 @@ def load_device_durations(logdir: str, exclude_prefix: str = "jit_",
     outer ``jit_<fn>`` module span by name prefix.  Returns
     ``(durations, n_trace_files_considered)``.
     """
+    # newest by mtime: lexicographic order lies when hostname/timestamp
+    # directory layouts mix across captures
     paths = sorted(glob.glob(os.path.join(
-        logdir, "**", "*.trace.json.gz"), recursive=True))
+        logdir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime)
     if not paths:
         raise FileNotFoundError(f"no *.trace.json.gz under {logdir}")
     with gzip.open(paths[-1], "rt") as f:

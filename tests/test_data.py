@@ -280,6 +280,38 @@ class TestPipeline:
             time.sleep(0.05)
         assert not extra, f"producer thread leaked: {extra}"
 
+    def test_device_prefetch_order_errors_abandonment(self):
+        """device_prefetch (the train/eval one-batch lookahead) preserves
+        order, propagates fn errors, and retires its producer when the
+        consumer abandons iteration."""
+        import threading
+        import time
+
+        got = list(pipeline.device_prefetch(range(8), lambda i: i * 2))
+        assert got == [0, 2, 4, 6, 8, 10, 12, 14]
+
+        def boom(i):
+            if i == 3:
+                raise RuntimeError("assembly failed")
+            return i
+
+        it = pipeline.device_prefetch(range(8), boom)
+        with pytest.raises(RuntimeError, match="assembly failed"):
+            list(it)
+
+        before = {t.ident for t in threading.enumerate()}
+        slow = pipeline.device_prefetch(range(64), lambda i: i, depth=1)
+        assert next(slow) == 0
+        slow.close()  # abandon mid-iteration
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            extra = [t for t in threading.enumerate()
+                     if t.ident not in before and t.is_alive()]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, f"prefetch producer leaked: {extra}"
+
     def test_train_val_split_matches_reference_seed(self):
         """Reference: np.random.seed(0); shuffle; 80/20
         (``train_VIGOR.py:82-91``)."""

@@ -544,3 +544,173 @@ def test_oxford_e2e_metric_oracle(ref_env, oxford_root, tmp_path):
                 got[key], val, rtol=2e-3, atol=2e-3,
                 err_msg=f"{trav} metric {key}: reference {val} vs "
                         f"framework {got[key]}")
+
+
+def test_vigor_known_orientation_e2e_metric_oracle(ref_env,
+                                                   vigor_fullsize_root,
+                                                   tmp_path):
+    """BASELINE config 1: known orientation (``--ori_noise 0``).  The prior
+    restricts matching to the single center bin (``loc_offsets=(0,)``,
+    reference ``models.py:489``) and the dataset applies no rotation noise
+    (``datasets.py:131-140`` with ori_noise 0); the whole CLI stack must
+    reproduce the reference eval loop's metric dict (VERDICT r3 #4)."""
+    torch, rm, ref_datasets = ref_env
+    from torch.utils.data import DataLoader
+
+    root = vigor_fullsize_root
+    n = 8
+
+    torch.manual_seed(29)
+    model = rm.CVM_VIGOR_ori_prior("cpu", 0, circular_padding=True)
+    model.eval()
+    pt_path = str(tmp_path / "model_ori0.pt")
+    torch.save(model.state_dict(), pt_path)
+
+    ds = ref_datasets.VIGORDataset(
+        root=root, split="samearea", train=False, pos_only=True,
+        transform=(_torch_transform(torch, (320, 640)),
+                   _torch_transform(torch, (512, 512))),
+        ori_noise=0)
+    assert len(ds) == n
+    loader = DataLoader(ds, batch_size=4, shuffle=False)
+
+    distance_in_meters, orientation_error, probability_at_gt = [], [], []
+    mpp = {"NewYork": 0.113248, "Seattle": 0.100817,
+           "SanFrancisco": 0.118141, "Chicago": 0.111262}
+    with torch.no_grad():
+        for data in loader:  # train_VIGOR.py:265-338
+            grd, sat, gt, gt_with_ori, gt_orientation, city, _angle = data
+            heatmap_t, ori_t = model(grd, sat)[1:3]
+            gt_np = gt.numpy()
+            gt_ori_np = gt_orientation.numpy()
+            heatmap = heatmap_t.numpy()
+            ori = ori_t.numpy()
+            for b in range(gt_np.shape[0]):
+                cur_gt = gt_np[b]
+                loc_gt = np.unravel_index(cur_gt.argmax(), cur_gt.shape)
+                cur_pred = heatmap[b]
+                loc_pred = np.unravel_index(cur_pred.argmax(), cur_pred.shape)
+                pix = np.sqrt((loc_gt[1] - loc_pred[1]) ** 2
+                              + (loc_gt[2] - loc_pred[2]) ** 2)
+                distance_in_meters.append(pix * mpp[city[b]] / 512 * 640)
+                cos_p, sin_p = ori[b, :, loc_pred[1], loc_pred[2]]
+                if abs(cos_p) <= 1 and abs(sin_p) <= 1:
+                    ang_p = _recover_angle(cos_p, sin_p)
+                    cos_g, sin_g = gt_ori_np[b, :, loc_gt[1], loc_gt[2]]
+                    ang_g = _recover_angle(cos_g, sin_g)
+                    d = abs(ang_g - ang_p)
+                    orientation_error.append(min(d, 360 - d))
+                probability_at_gt.append(heatmap[b, 0, loc_gt[1], loc_gt[2]])
+
+    want = {
+        "mean_distance_m": np.mean(distance_in_meters),
+        "median_distance_m": np.median(distance_in_meters),
+        "mean_orientation_deg": np.mean(orientation_error),
+        "median_orientation_deg": np.median(orientation_error),
+        "mean_probability_at_gt": np.mean(probability_at_gt),
+        "median_probability_at_gt": np.median(probability_at_gt),
+    }
+
+    import train_VIGOR
+
+    got = train_VIGOR.main([
+        "--dataset_root", root,
+        "--training", "False",
+        "--ori_noise", "0",
+        "-b", "4",
+        "--test_model_path", pt_path,
+        "--results_dir", str(tmp_path / "res"),
+        "--checkpoint_dir", str(tmp_path / "ck"),
+        "--num_workers", "2",
+    ])
+    for key, val in want.items():
+        np.testing.assert_allclose(
+            got[key], val, rtol=2e-3, atol=2e-3,
+            err_msg=f"metric {key}: reference {val} vs framework {got[key]}")
+
+
+def test_vigor_crossarea_fov108_e2e_metric_oracle(ref_env,
+                                                  vigor_fullsize_root,
+                                                  tmp_path):
+    """BASELINE config 3: crossarea split + limited HFoV 108.  The crossarea
+    test cities (SanFrancisco+Chicago) read ``pano_label_balanced.txt``
+    (reference ``datasets.py:35-38,70-71``); the panorama is cropped to
+    108/360 of its width and circular padding is off.  Composes the
+    crossarea index parse through the whole CLI eval (VERDICT r3 #4)."""
+    torch, rm, ref_datasets = ref_env
+    from torch.utils.data import DataLoader
+
+    root = vigor_fullsize_root
+    # crossarea label files for the two test cities (the samearea fixtures
+    # never read these): reuse each city's test lines
+    for city in ("SanFrancisco", "Chicago"):
+        src = os.path.join(root, "splits_new", city,
+                           "same_area_balanced_test.txt")
+        dst = os.path.join(root, "splits_new", city,
+                           "pano_label_balanced.txt")
+        if not os.path.exists(dst):
+            with open(src) as f, open(dst, "w") as g:
+                g.write(f.read())
+    n = 4
+    frozen = np.array([15.0, 280.0, 99.5, 201.0])
+    odir = tmp_path / "orient"
+    odir.mkdir()
+    np.save(odir / "crossarea_orientation_test.npy", frozen)
+
+    torch.manual_seed(31)
+    model = rm.CVM_VIGOR_ori_prior("cpu", 180, circular_padding=False)
+    model.eval()
+    pt_path = str(tmp_path / "model_cross.pt")
+    torch.save(model.state_dict(), pt_path)
+
+    ds = ref_datasets.VIGORDataset(
+        root=root, split="crossarea", train=False, pos_only=True,
+        transform=(_torch_transform(torch, (320, 640)),
+                   _torch_transform(torch, (512, 512))),
+        ori_noise=180, random_orientation=frozen)
+    assert len(ds) == n
+    loader = DataLoader(ds, batch_size=2, shuffle=False)
+
+    distance_in_meters, probability_at_gt = [], []
+    mpp = {"NewYork": 0.113248, "Seattle": 0.100817,
+           "SanFrancisco": 0.118141, "Chicago": 0.111262}
+    with torch.no_grad():
+        for data in loader:  # train_VIGOR.py:265-338 with the :272-273 crop
+            grd, sat, gt, _gwo, _gto, city, _angle = data
+            grd_width = int(grd.size()[3] * 108 / 360)
+            heatmap = model(grd[:, :, :, :grd_width], sat)[1].numpy()
+            gt_np = gt.numpy()
+            for b in range(gt_np.shape[0]):
+                cur_gt = gt_np[b]
+                loc_gt = np.unravel_index(cur_gt.argmax(), cur_gt.shape)
+                cur_pred = heatmap[b]
+                loc_pred = np.unravel_index(cur_pred.argmax(), cur_pred.shape)
+                pix = np.sqrt((loc_gt[1] - loc_pred[1]) ** 2
+                              + (loc_gt[2] - loc_pred[2]) ** 2)
+                distance_in_meters.append(pix * mpp[city[b]] / 512 * 640)
+                probability_at_gt.append(heatmap[b, 0, loc_gt[1], loc_gt[2]])
+
+    import train_VIGOR
+
+    got = train_VIGOR.main([
+        "--dataset_root", root,
+        "--area", "crossarea",
+        "--training", "False",
+        "--ori_noise", "180",
+        "--FoV", "108",
+        "-b", "2",
+        "--test_model_path", pt_path,
+        "--orientation_dir", str(odir),
+        "--results_dir", str(tmp_path / "res"),
+        "--checkpoint_dir", str(tmp_path / "ck"),
+        "--num_workers", "2",
+    ])
+    np.testing.assert_allclose(got["mean_distance_m"],
+                               np.mean(distance_in_meters),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got["median_distance_m"],
+                               np.median(distance_in_meters),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got["mean_probability_at_gt"],
+                               np.mean(probability_at_gt),
+                               rtol=2e-3, atol=1e-6)

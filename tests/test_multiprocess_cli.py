@@ -1,0 +1,163 @@
+"""Pod-launch entry path, proven through the ACTUAL CLI (VERDICT r3 #1).
+
+Round 3's two-process test drove the Trainer directly and bypassed
+``parallel.mesh.maybe_init_distributed`` — which turned out to crash on any
+real multi-host launch (it queried ``jax.process_count()``, initializing the
+XLA backend, before ``jax.distributed.initialize()``).  This test launches
+the real ``train_VIGOR.py`` CLI as two OS processes joined only by the
+environment a pod operator sets (``JAX_COORDINATOR_ADDRESS`` plus the
+explicit ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` that stand in for the TPU
+metadata auto-detection, see ``docs/SCALING.md``), so the *entire* entry
+sequence — distributed init ordering, mesh over 8 global devices, strided
+Loader slices, global-batch assembly, coordinated orbax write, process-0
+results write — runs exactly as a pod runs it.  Train + eval numerics must
+match the single-process CLI run.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLI = os.path.join(REPO, "train_VIGOR.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def synthetic_vigor(tmp_path_factory):
+    # bigger than test_cli's root: the 80/20 split must leave >= one global
+    # batch (8) of validation samples for the epoch eval to produce metrics
+    root = str(tmp_path_factory.mktemp("vigor_mp_cli"))
+    rng = np.random.default_rng(0)
+
+    def wimg(path, hw, seed):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(np.random.default_rng(seed).integers(
+            0, 255, (*hw, 3), dtype=np.uint8)).save(path)
+
+    for city in ["NewYork", "Seattle", "SanFrancisco", "Chicago"]:
+        sats = [f"s{i}.png" for i in range(3)]
+        os.makedirs(os.path.join(root, "splits_new", city), exist_ok=True)
+        with open(os.path.join(root, "splits_new", city,
+                               "satellite_list.txt"), "w") as f:
+            f.write("\n".join(sats) + "\n")
+        for s in sats:
+            wimg(os.path.join(root, city, "satellite", s), (128, 128),
+                 hash(city + s) % 97)
+        lines = []
+        for j in range(12):
+            pano = f"p{j}.png"
+            wimg(os.path.join(root, city, "panorama", pano), (64, 128), j)
+            fields = [pano]
+            for k in range(4):
+                fields += [sats[(j + k) % 3], str(rng.uniform(-20, 20)),
+                           str(rng.uniform(-20, 20))]
+            lines.append(" ".join(fields))
+        with open(os.path.join(root, "splits_new", city,
+                               "same_area_balanced_train.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return root
+
+
+def _cli_env(n_local_devices: int, extra: dict | None = None) -> dict:
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # drop the pytest session's 8-device flag
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                        f"{n_local_devices}")
+    env["JAX_DISABLE_MOST_OPTIMIZATIONS"] = "1"  # 2x faster smoke compile
+    env.update(extra or {})
+    return env
+
+
+def _cli_args(root: str, ckpt: str, results: str) -> list:
+    return [sys.executable, CLI,
+            "--dataset_root", root,
+            "--model_preset", "NANO",
+            "--epochs", "1",
+            "--steps_per_epoch", "2",
+            "-b", "8",
+            "--checkpoint_dir", ckpt,
+            "--results_dir", results,
+            "--num_workers", "2"]
+
+
+def _read_summary(results_dir: str) -> dict:
+    path = os.path.join(results_dir, "samearea_HFoV360_summary.json")
+    with open(path) as f:
+        summary = json.loads(f.readline())
+    summary.pop("pairs_per_sec", None)
+    return summary
+
+
+def _param_norm(ckpt_dir: str) -> tuple[float, int]:
+    import jax
+    import optax
+
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+    from ccvpe_tpu.models import cvm
+    from ccvpe_tpu.train import loop as train_loop
+
+    mngr = CheckpointManager(ckpt_dir)
+    step = mngr.latest_step()
+    tmpl = train_loop.create_train_state(
+        cvm.PRESETS["NANO"], jax.random.PRNGKey(0),
+        train_loop.make_optimizer())
+    state = mngr.restore(jax.device_get(tmpl))
+    return float(optax.global_norm(state.params)), int(np.asarray(state.step))
+
+
+def test_pod_launch_through_the_cli(synthetic_vigor, tmp_path):
+    # golden: single process, 8 virtual devices
+    r1, ck1 = str(tmp_path / "r1"), str(tmp_path / "ck1")
+    p = subprocess.run(_cli_args(synthetic_vigor, ck1, r1),
+                       cwd=REPO, env=_cli_env(8), timeout=900,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       text=True)
+    assert p.returncode == 0, f"single-process CLI failed:\n{p.stdout}"
+
+    # pod launch: the same command on every host, joined only by the env
+    port = _free_port()
+    r2, ck2 = str(tmp_path / "r2"), str(tmp_path / "ck2")
+    procs = [subprocess.Popen(
+        _cli_args(synthetic_vigor, ck2, r2),
+        cwd=REPO,
+        env=_cli_env(4, {"JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+                         "JAX_NUM_PROCESSES": "2",
+                         "JAX_PROCESS_ID": str(i)}),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = [proc.communicate(timeout=900)[0] for proc in procs]
+    assert all(proc.returncode == 0 for proc in procs), (
+        "pod-style CLI launch failed:\n" + "\n==== proc ====\n".join(logs))
+
+    # process-0-only results write: exactly one summary line, no duplicates
+    lines = open(os.path.join(
+        r2, "samearea_HFoV360_summary.json")).read().splitlines()
+    assert len(lines) == 1, lines
+
+    # eval numerics: the strided multi-host input split must reproduce the
+    # single-process epoch validation (permutation-invariant metrics)
+    single, dual = _read_summary(r1), _read_summary(r2)
+    for key, want in single.items():
+        np.testing.assert_allclose(
+            dual[key], want, rtol=1e-3, atol=1e-4,
+            err_msg=f"metric {key}: single {want} vs dual {dual[key]}")
+
+    # train numerics: the coordinated orbax checkpoints hold the same
+    # global step and (up to reduction-order fp drift) the same weights
+    n1, s1 = _param_norm(ck1)
+    n2, s2 = _param_norm(ck2)
+    assert s1 == s2 == 2
+    np.testing.assert_allclose(n2, n1, rtol=1e-4)

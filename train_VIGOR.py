@@ -117,9 +117,12 @@ def main(argv=None):
     from ccvpe_tpu.train.harness import Trainer
     from ccvpe_tpu.train.metrics import VIGOR_METER_PER_PIXEL
 
+    from ccvpe_tpu.utils.platform import apply_env_platform
+    apply_env_platform()  # CCVPE_PLATFORM pins the backend in-process
+    # distributed init MUST precede any backend-initializing JAX call
+    mesh_lib.maybe_init_distributed()
     from ccvpe_tpu.utils import compilation_cache
     compilation_cache.enable()
-    mesh_lib.maybe_init_distributed()
     if args.model_preset not in cvm.PRESETS:
         raise SystemExit(f"unknown --model_preset {args.model_preset!r}; "
                          f"choose from {sorted(cvm.PRESETS)}")

@@ -28,6 +28,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ccvpe_tpu.utils.platform import apply_env_platform
+    apply_env_platform()  # CCVPE_PLATFORM pins the backend in-process
     import jax
 
     from ccvpe_tpu.data import vigor
