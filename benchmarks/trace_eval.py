@@ -40,7 +40,7 @@ def _print_memory(compiled) -> None:
           f"aliased {ma.alias_size_in_bytes / gib:.2f} GiB")
 
 
-def _eval_fn(cfg, batch):
+def _eval_fn(cfg, batch, quant: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +57,20 @@ def _eval_fn(cfg, batch):
     key = jax.random.PRNGKey(1)
     grd = jax.random.normal(key, (batch, *cfg.grd_hw, 3), jnp.float32)
     sat = jax.random.normal(key, (batch, *cfg.sat_hw, 3), jnp.float32)
+    if quant == "int8":
+        # same PTQ recipe as bench.py CCVPE_BENCH_QUANT=int8: calibrate on
+        # the bench batch, per-channel int8 weights, static activation scales
+        from ccvpe_tpu.nn import quant as quant_lib
+
+        def calib_fwd(p, g, s):
+            out, _ = cvm.forward(cfg, p, state, g.astype(jnp.bfloat16),
+                                 s.astype(jnp.bfloat16), train=False)
+            return out.logits_flattened
+
+        ranges = quant_lib.calibrate(calib_fwd, params, [(grd, sat)])
+        params = quant_lib.quantize_params(jax.device_get(params), ranges)
+    elif quant:
+        raise SystemExit(f"unknown --quant {quant!r}")
     return jax.jit(fwd), (params, state, grd, sat), False
 
 
@@ -103,7 +117,7 @@ def capture(args) -> None:
     if args.mode == "train":
         fn, fargs, is_step = _train_fn(cfg, args.batch, args.remat)
     else:
-        fn, fargs, is_step = _eval_fn(cfg, args.batch)
+        fn, fargs, is_step = _eval_fn(cfg, args.batch, args.quant)
 
     # AOT-compile once and call THAT executable for warmup and the traced
     # loop (a plain fn(*fargs) would re-enter the pjit cache and recompile),
@@ -114,7 +128,8 @@ def capture(args) -> None:
         f.write(compiled.as_text())
     with open(os.path.join(args.logdir, "trace_meta.json"), "w") as f:
         json.dump({"iters": args.iters, "mode": args.mode,
-                   "batch": args.batch, "preset": args.preset}, f)
+                   "batch": args.batch, "preset": args.preset,
+                   "quant": args.quant}, f)
     if args.memory:
         _print_memory(compiled)
 
@@ -136,6 +151,9 @@ def main():
     ap.add_argument("--preset", default="VIGOR")
     ap.add_argument("--remat", default=False,
                     help="train-mode remat scope (1/all/encoder/decoder)")
+    ap.add_argument("--quant", default="",
+                    help="eval-mode PTQ: 'int8' quantizes params first "
+                         "(calibrated on the bench batch, as bench.py)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--memory", action="store_true",

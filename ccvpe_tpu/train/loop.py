@@ -186,29 +186,41 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
                     f"mesh; grouped-conv gradients would mis-reduce — use a "
                     f"batch with batch % (mesh * grad_accum) == 0")
             # STRIDED microbatch composition (sample i -> microbatch
-            # i % grad_accum): the reshape keeps the sharded batch axis
-            # intact, so each scanned microbatch stays fully sharded over
-            # the data axis.  Contiguous chunking (reshape to
+            # i % grad_accum): the [b//accum, accum] reshape keeps the
+            # sharded batch axis intact, so each microbatch stays fully
+            # sharded over the data axis.  Contiguous chunking (reshape to
             # [accum, micro, ...]) splits the sharded axis instead, leaving
             # every microbatch partially REPLICATED across device pairs —
             # and GSPMD then over-reduces grouped-conv weight gradients
             # (measured: depthwise grads exactly 2x too large on a 4-way
             # mesh; same pathology as the batch-replication note in
             # parallel/mesh.py::data_sharded).
-            micro = jax.tree_util.tree_map(
-                lambda x: x.reshape(b // grad_accum, grad_accum,
-                                    *x.shape[1:]).swapaxes(0, 1), batch)
+            #
+            # The gather happens INSIDE the scan body with a loop-dependent
+            # index: pre-stacking the microbatches ([accum, micro, ...]
+            # transpose outside the scan) materializes a full transposed
+            # copy of the batch — and XLA then hoists the bf16 input casts
+            # onto it too — ~1.2 GB of extra HBM temps at B=256 that pushed
+            # the accum=2 step over the v5e's HBM (measured round 4).  With
+            # the in-body dynamic slice only ONE microbatch is alive per
+            # iteration, and the loop-variant index blocks the hoist.
+            def pick(j, x):
+                v = x.reshape(b // grad_accum, grad_accum, *x.shape[1:])
+                return jax.lax.dynamic_index_in_dim(v, j, axis=1,
+                                                    keepdims=False)
+
             rngs = jax.random.split(rng, grad_accum)
             # abstract-eval one microbatch to learn the grad dtypes and the
             # loss-parts structure (keeps this path in sync with whatever
             # losses.total_loss returns; accumulation itself stays f32)
-            mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+            mb0 = jax.tree_util.tree_map(lambda x: pick(0, x), batch)
             g_tmpl, (_, parts_tmpl) = jax.eval_shape(
                 one_grad, state.params, state.bn_state, mb0, rngs[0])
 
             def body(carry, xs):
                 bn, gsum, lsum = carry
-                mb, r = xs
+                j, r = xs
+                mb = jax.tree_util.tree_map(lambda x: pick(j, x), batch)
                 g, (new_bn, parts) = one_grad(state.params, bn, mb, r)
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
                 lsum = jax.tree_util.tree_map(jnp.add, lsum, parts)
@@ -219,7 +231,8 @@ def make_train_step(model_cfg: cvm.CVMConfig, optimizer, *,
             l0 = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, jnp.float32), parts_tmpl)
             (new_bn, gsum, lsum), _ = jax.lax.scan(
-                body, (state.bn_state, g0, l0), (micro, rngs))
+                body, (state.bn_state, g0, l0),
+                (jnp.arange(grad_accum), rngs))
             grads = jax.tree_util.tree_map(
                 lambda g, s: (g / grad_accum).astype(s.dtype), gsum, g_tmpl)
             parts = jax.tree_util.tree_map(
