@@ -49,6 +49,9 @@ def main():
                     default="bfloat16")
     ap.add_argument("--out", type=str, default="",
                     help="also append the JSON records to this file")
+    ap.add_argument("--modes", type=str, default="",
+                    help="comma-separated subset of variants to run "
+                         "(python,native,native-fast,cache,ram)")
     args = ap.parse_args()
 
     import jax
@@ -150,23 +153,36 @@ def main():
             sync(pending)
             return time.perf_counter() - t0, n_pairs
 
+        # -- decode-free feed: pre-decoded raw batches resident in host RAM.
+        # Models a host with enough decode cores to keep up (the regime
+        # device_prefetch targets): the timed loop is only device-batch
+        # assembly + H2D + the step, so the +prefetch delta isolates how much
+        # of that serial host/transfer work hides behind device compute.
+        ram_batches = [raw for raw in make_loader(False, False, True)]
+
         modes = [("python", False, False, False),
                  ("native", True, False, False),
                  ("native-fast", True, True, False),
-                 ("cache", False, False, True)]
+                 ("cache", False, False, True),
+                 ("ram", False, False, True)]
+        if args.modes:
+            want = set(args.modes.split(","))
+            modes = [m for m in modes if m[0] in want]
         for name, native, fast, cached in modes:
             if native and not native_loader.available():
                 print("native loader unavailable:",
                       native_loader.build_error(), flush=True)
                 continue
+            mk = ((lambda: iter(ram_batches)) if name == "ram"
+                  else (lambda: make_loader(native, fast, cached)))
             # plain: device-batch assembly inline in the consumer loop, and
             # +prefetch: the production path since r4 — assembly + H2D run
             # one batch ahead in a producer thread (harness.train_epoch /
             # evaluate use the same pipeline.device_prefetch helper)
             for tag, batches in (
-                    ("", map(dev_batch, make_loader(native, fast, cached))),
-                    ("+prefetch", pipeline.device_prefetch(
-                        make_loader(native, fast, cached), dev_batch))):
+                    ("", map(dev_batch, mk())),
+                    ("+prefetch", pipeline.device_prefetch(mk(),
+                                                           dev_batch))):
                 dt, n_pairs = timed(batches)
                 fed = n_pairs / dt
                 rec = {
