@@ -18,6 +18,9 @@ Env knobs:
   CCVPE_BENCH_QUANT   int8 -> post-training-quantized forward (nn/quant.py:
                       calibrate on the bench batch, per-channel int8 weights,
                       static activation scales; MXU int8 path)
+  CCVPE_QUANT_SELECT  conv selection policy for int8: all (default) |
+                      mxu[:threshold] (only compute-bound convs,
+                      nn/quant.py::mxu_bound_select)
 """
 
 import json
@@ -147,7 +150,10 @@ def main():
             return out.logits_flattened
 
         ranges = quant_lib.calibrate(calib_fwd, params, [(grd, sat)])
-        params = quant_lib.quantize_params(jax.device_get(params), ranges)
+        params = quant_lib.quantize_params(
+            jax.device_get(params), ranges,
+            select=quant_lib.resolve_select(
+                os.environ.get("CCVPE_QUANT_SELECT", "all")))
     elif quant_mode:
         raise SystemExit(f"unknown CCVPE_BENCH_QUANT={quant_mode!r}")
 

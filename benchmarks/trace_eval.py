@@ -68,7 +68,10 @@ def _eval_fn(cfg, batch, quant: str = ""):
             return out.logits_flattened
 
         ranges = quant_lib.calibrate(calib_fwd, params, [(grd, sat)])
-        params = quant_lib.quantize_params(jax.device_get(params), ranges)
+        params = quant_lib.quantize_params(
+            jax.device_get(params), ranges,
+            select=quant_lib.resolve_select(
+                os.environ.get("CCVPE_QUANT_SELECT", "all")))
     elif quant:
         raise SystemExit(f"unknown --quant {quant!r}")
     return jax.jit(fwd), (params, state, grd, sat), False

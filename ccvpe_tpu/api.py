@@ -159,7 +159,8 @@ class CVMModel:
         return _poses_from_readout(r, grd.shape[0], return_heatmap)
 
     def quantize_int8(self, calib: Sequence[tuple] | None = None, *,
-                      ori_noise: float = 180.0) -> "CVMModel":
+                      ori_noise: float = 180.0,
+                      select: str = "all") -> "CVMModel":
         """Post-training int8 quantization of this model, in place.
 
         Rewrites the conv weights to per-channel int8 with calibrated
@@ -174,6 +175,11 @@ class CVMModel:
         ``calib``: iterable of (grd, sat) uint8 image batches at model size
         used to record activation ranges; defaults to one synthetic batch
         (prefer a handful of real samples for deployment).
+
+        ``select``: conv selection policy — ``"all"`` (every non-depthwise
+        conv) or ``"mxu"``/``"mxu:<threshold>"`` (only compute-bound convs,
+        ``nn.quant.mxu_bound_select``; the measured-faster choice on
+        bandwidth-bound models, see ARCHITECTURE.md).
         """
         from .nn import quant
 
@@ -202,7 +208,8 @@ class CVMModel:
                     transforms.normalize_images(jnp.asarray(s)))
                    for g, s in calib]
         ranges = quant.calibrate(fwd, self.params, batches)
-        qparams = quant.quantize_params(jax.device_get(self.params), ranges)
+        qparams = quant.quantize_params(jax.device_get(self.params), ranges,
+                                        select=quant.resolve_select(select))
         if self.mesh is not None:
             from .parallel import mesh as mesh_lib
 

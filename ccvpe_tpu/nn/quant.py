@@ -127,6 +127,46 @@ def default_select(path: str, node: dict) -> bool:
     return w.ndim == 4 and w.shape[2] > 1
 
 
+def mxu_bound_select(threshold: float = 240.0) -> Callable[[str, dict], bool]:
+    """Policy: quantize only convs that are MXU-(compute-)bound in bf16.
+
+    The activation quantize is an extra HBM sweep over the conv's input
+    (read bf16 + write int8 = 3 bytes/elem) that saves only 1 byte/elem on
+    the conv's own input read — **net +2 bytes/elem of traffic** — so on a
+    bandwidth-bound conv int8 is a strict loss, and the round-3 trace shows
+    exactly that: quantizing every conv turned 33.8% of the step into
+    ``clamp_convert`` sweeps and measured 907 vs 1239 pairs/s end to end.
+    The 2x-rate MXU only pays where the conv's FLOP time exceeds its byte
+    time.  Shape-only proxy for that ratio (activation-traffic dominated;
+    weights amortize over the batch): per-output-pixel
+    ``FLOPs / bytes = K²·Cin·Cout / (Cin + Cout)``, compared against the
+    v5e's bf16 compute:bandwidth ratio ~197 TFLOP/s : 819 GB/s ≈ 240
+    FLOP/byte.  In CCVPE this keeps the fat decoder/head 3x3 convs and
+    drops the EfficientNet 1x1 expand/project layers (intensity 100-340).
+    """
+
+    def select(path: str, node: dict) -> bool:
+        w = node["w"]
+        if w.ndim != 4 or w.shape[2] == 1:
+            return False
+        kh, kw, cin_g, cout = w.shape
+        intensity = kh * kw * cin_g * cout / max(cin_g + cout, 1)
+        return intensity >= threshold
+
+    return select
+
+
+def resolve_select(spec: str) -> Callable[[str, dict], bool]:
+    """Parse a selection-policy string: ``"all"`` (every non-depthwise conv),
+    ``"mxu"`` or ``"mxu:<threshold>"`` (``mxu_bound_select``)."""
+    if spec in ("", "all"):
+        return default_select
+    if spec == "mxu" or spec.startswith("mxu:"):
+        t = float(spec.split(":", 1)[1]) if ":" in spec else 240.0
+        return mxu_bound_select(t)
+    raise ValueError(f"unknown quant selection policy {spec!r}")
+
+
 def _quantize_conv(node: dict, absmax: float, eps: float = 1e-12) -> dict:
     w = np.asarray(jax.device_get(node["w"]), np.float32)
     w_absmax = np.maximum(np.abs(w).max(axis=(0, 1, 2)), eps)
