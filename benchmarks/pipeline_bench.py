@@ -153,13 +153,6 @@ def main():
             sync(pending)
             return time.perf_counter() - t0, n_pairs
 
-        # -- decode-free feed: pre-decoded raw batches resident in host RAM.
-        # Models a host with enough decode cores to keep up (the regime
-        # device_prefetch targets): the timed loop is only device-batch
-        # assembly + H2D + the step, so the +prefetch delta isolates how much
-        # of that serial host/transfer work hides behind device compute.
-        ram_batches = [raw for raw in make_loader(False, False, True)]
-
         modes = [("python", False, False, False),
                  ("native", True, False, False),
                  ("native-fast", True, True, False),
@@ -168,6 +161,16 @@ def main():
         if args.modes:
             want = set(args.modes.split(","))
             modes = [m for m in modes if m[0] in want]
+
+        # -- decode-free feed: pre-decoded raw batches resident in host RAM.
+        # Models a host with enough decode cores to keep up (the regime
+        # device_prefetch targets): the timed loop is only device-batch
+        # assembly + H2D + the step, so the +prefetch delta isolates how much
+        # of that serial host/transfer work hides behind device compute.
+        # Built lazily: decoding the whole shard costs time/RAM and would
+        # pre-warm the page cache for the other timed variants.
+        ram_batches = ([raw for raw in make_loader(False, False, True)]
+                       if any(m[0] == "ram" for m in modes) else None)
         for name, native, fast, cached in modes:
             if native and not native_loader.available():
                 print("native loader unavailable:",

@@ -118,6 +118,11 @@ def capture(args) -> None:
     compilation_cache.enable()
     cfg = cvm.PRESETS[args.preset]
     if args.mode == "train":
+        if args.quant:
+            # quantized trees are inference-only (nn/quant.py); silently
+            # ignoring --quant here would mislabel trace_meta.json
+            raise SystemExit("--quant applies to --mode eval only "
+                             "(the int8 path has no gradient)")
         fn, fargs, is_step = _train_fn(cfg, args.batch, args.remat)
     else:
         fn, fargs, is_step = _eval_fn(cfg, args.batch, args.quant)

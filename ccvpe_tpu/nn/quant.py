@@ -141,8 +141,11 @@ def mxu_bound_select(threshold: float = 240.0) -> Callable[[str, dict], bool]:
     weights amortize over the batch): per-output-pixel
     ``FLOPs / bytes = K²·Cin·Cout / (Cin + Cout)``, compared against the
     v5e's bf16 compute:bandwidth ratio ~197 TFLOP/s : 819 GB/s ≈ 240
-    FLOP/byte.  In CCVPE this keeps the fat decoder/head 3x3 convs and
-    drops the EfficientNet 1x1 expand/project layers (intensity 100-340).
+    FLOP/byte.  With the default threshold this keeps the fat decoder/head
+    3x3 convs (intensity well above 240) plus the widest EfficientNet 1x1
+    expand/project layers (those reach intensity ~240-340), and drops the
+    narrower 1x1s (intensity ~100-230); raise the threshold past 340 to
+    restrict selection to the 3x3 convs only.
     """
 
     def select(path: str, node: dict) -> bool:
@@ -162,7 +165,16 @@ def resolve_select(spec: str) -> Callable[[str, dict], bool]:
     if spec in ("", "all"):
         return default_select
     if spec == "mxu" or spec.startswith("mxu:"):
-        t = float(spec.split(":", 1)[1]) if ":" in spec else 240.0
+        if ":" in spec:
+            raw = spec.split(":", 1)[1]
+            try:
+                t = float(raw)
+            except ValueError:
+                raise ValueError(
+                    f"bad mxu threshold {raw!r} in quant selection policy "
+                    f"{spec!r} (expected mxu:<float>)") from None
+        else:
+            t = 240.0
         return mxu_bound_select(t)
     raise ValueError(f"unknown quant selection policy {spec!r}")
 

@@ -151,6 +151,52 @@ def test_quantize_params_skips_already_quantized(nano_setup):
                                   np.asarray(stem2["q_sw"]))
 
 
+def _fake_conv(kh, kw, cin_g, cout):
+    return {"w": np.zeros((kh, kw, cin_g, cout), np.float32)}
+
+
+def test_resolve_select_policies():
+    assert quant.resolve_select("") is quant.default_select
+    assert quant.resolve_select("all") is quant.default_select
+    # mxu default threshold 240: per-output-pixel intensity
+    # K^2*Cin*Cout/(Cin+Cout)
+    sel = quant.resolve_select("mxu")
+    # fat decoder 3x3: 9*128*128/256 = 576 -> kept
+    assert sel("d", _fake_conv(3, 3, 128, 128))
+    # narrow 1x1 expand: 1*16*96/112 ~= 13.7 -> dropped
+    assert not sel("e", _fake_conv(1, 1, 16, 96))
+    # wide 1x1: 1*320*1280/1600 = 256 -> kept at 240, dropped at mxu:300
+    assert sel("w", _fake_conv(1, 1, 320, 1280))
+    assert not quant.resolve_select("mxu:300")("w", _fake_conv(1, 1, 320,
+                                                               1280))
+    # depthwise (I==1 HWIO) always excluded, any policy
+    dw = _fake_conv(3, 3, 1, 64)
+    assert not sel("dw", dw) and not quant.default_select("dw", dw)
+    with pytest.raises(ValueError, match="unknown quant selection"):
+        quant.resolve_select("tpu")
+    with pytest.raises(ValueError, match="bad mxu threshold"):
+        quant.resolve_select("mxu:")
+    with pytest.raises(ValueError, match="bad mxu threshold"):
+        quant.resolve_select("mxu:fast")
+
+
+def test_mxu_select_quantizes_subset(nano_setup):
+    _, params, _, _, _, _, ranges = nano_setup
+    q_all = quant.quantize_params(params, ranges)
+    # NANO's convs are all narrow; a scaled-down threshold exercises the
+    # same keep-the-fat-convs/drop-the-narrow-ones split the default 240
+    # makes on the full-size model
+    q_mxu = quant.quantize_params(params, ranges,
+                                  select=quant.mxu_bound_select(10.0))
+    f_all = quant.quantized_fraction(q_all)
+    f_mxu = quant.quantized_fraction(q_mxu)
+    assert 0 < f_mxu < f_all
+    # at full-size intensity the tiny model quantizes nothing
+    q_240 = quant.quantize_params(params, ranges,
+                                  select=quant.mxu_bound_select())
+    assert quant.quantized_fraction(q_240) == 0.0
+
+
 def test_quantized_lowering_contains_int8_convs(nano_setup):
     _, params, _, grd, sat, fwd, ranges = nano_setup
     qparams = quant.quantize_params(params, ranges)
