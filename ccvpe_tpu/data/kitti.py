@@ -92,12 +92,18 @@ class KittiSampler:
         self.rotation_range = rotation_range
         self.grd_hw = grd_hw
         self.sat_hw = sat_hw
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         # optional preprocessed-array caches (data/cache.py), keyed by entry
         # index: grd at grd_hw; satmaps RAW (uniform release size) since the
         # alignment chain needs full resolution
         self.grd_cache = grd_cache
         self.sat_cache = sat_cache
+
+    def set_epoch(self, epoch: int):
+        """Advance the per-epoch randomness stream (fresh shift/rotation
+        draws per epoch; see the counter-based rng note in ``plan``)."""
+        self.epoch = int(epoch)
 
     def entry_file_name(self, idx: int) -> str:
         e = self.index.entries[int(idx)]
@@ -133,9 +139,12 @@ class KittiSampler:
             random_ori = theta * self.rotation_range
         else:
             file_name = self.index.entries[idx]
-            gt_shift_x = float(self.rng.uniform(-1, 1))
-            gt_shift_y = float(self.rng.uniform(-1, 1))
-            random_ori = float(self.rng.uniform(-1, 1)) * self.rotation_range
+            # counter-based per-sample stream (see vigor.VigorSampler._rng):
+            # fetch-order/process independent -> multi-host == single-host
+            rng = np.random.default_rng((self.seed, self.epoch, idx))
+            gt_shift_x = float(rng.uniform(-1, 1))
+            gt_shift_y = float(rng.uniform(-1, 1))
+            random_ori = float(rng.uniform(-1, 1)) * self.rotation_range
         requests = {}
         if self.grd_cache is None:
             requests["grd"] = (self.grd_path(idx), self.grd_hw)

@@ -86,7 +86,8 @@ class OxfordSampler:
         self.grd_hw = grd_hw
         self.sat_hw = sat_hw
         self.transform = utm_to_pixel_transform()
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         # optional preprocessed-array cache of ground frames at grd_hw
         # (data/cache.py); the aerial side is already decode-free (one
         # in-memory map)
@@ -99,11 +100,17 @@ class OxfordSampler:
         return os.path.join(self.index.grd_image_root,
                             self.index.grd_files[int(idx)])
 
-    def _train_offsets(self):
+    def set_epoch(self, epoch: int):
+        """Advance the per-epoch randomness stream (fresh crops per epoch)."""
+        self.epoch = int(epoch)
+
+    def _train_offsets(self, idx: int):
         # random polar offset <= 200*sqrt(2) px (``datasets.py:290-304``);
-        # isolated so ``plan`` can consume the RNG serially
-        alpha = 2 * math.pi * self.rng.random()
-        r = 200 * np.sqrt(2) * self.rng.random()
+        # counter-based per-sample stream (see vigor.VigorSampler._rng):
+        # fetch-order/process independent -> multi-host == single-host
+        rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
+        alpha = 2 * math.pi * rng.random()
+        r = 200 * np.sqrt(2) * rng.random()
         return int(r * math.cos(alpha)), int(r * math.sin(alpha))
 
     def _train_crop(self, image_coord, row_offset, col_offset):
@@ -148,7 +155,7 @@ class OxfordSampler:
                     else {"grd": (self.grd_path(idx), self.grd_hw)})
         plan = {"idx": idx, "requests": requests}
         if self.index.split == "train":
-            plan["train_offsets"] = self._train_offsets()
+            plan["train_offsets"] = self._train_offsets(idx)
         return plan
 
     def assemble(self, plan: dict, images: dict) -> dict:

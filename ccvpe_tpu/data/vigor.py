@@ -99,28 +99,43 @@ class VigorSampler:
         self.random_orientation = random_orientation
         self.grd_hw = grd_hw
         self.sat_hw = sat_hw
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         # optional preprocessed-array caches (data/cache.py): decode-free
         # streaming keyed by ground index / satellite-list index
         self.grd_cache = grd_cache
         self.sat_cache = sat_cache
 
-    def _rotation(self, idx: int) -> float:
+    def set_epoch(self, epoch: int):
+        """Advance the per-epoch randomness stream (fresh augmentation draws
+        each epoch, like the reference's global-rng redraws)."""
+        self.epoch = int(epoch)
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        """Counter-based per-sample stream: a pure function of
+        (seed, epoch, idx), so draws are identical no matter which process
+        fetches the sample or in what order — the property that makes
+        multi-host training reproduce the single-process run (a shared
+        sequential rng hands sample i different noise on every host
+        because each host only fetches its stride of the epoch)."""
+        return np.random.default_rng((self.seed, self.epoch, int(idx)))
+
+    def _rotation(self, idx: int, rng) -> float:
         # reference ``datasets.py:108-116``
         if self.random_orientation is not None:
             return float(self.random_orientation[idx]) / 360.0
         if self.ori_noise >= 180:
-            return float(self.rng.uniform(0.0, 1.0))
+            return float(rng.uniform(0.0, 1.0))
         r = self.ori_noise / 360.0
-        return float(self.rng.uniform(-r, r))
+        return float(rng.uniform(-r, r))
 
-    def _pick_satellite(self, idx: int):
+    def _pick_satellite(self, idx: int, rng):
         # reference ``datasets.py:123-133``
         if self.pos_only:
             pos = 0
         else:
             while True:
-                pos = int(self.rng.integers(0, 4))
+                pos = int(rng.integers(0, 4))
                 row, col = self.index.deltas[idx, pos]
                 if abs(row) < 320 and abs(col) < 320:
                     break
@@ -136,8 +151,9 @@ class VigorSampler:
         RNG order per sample matches ``__call__`` (satellite pick, then
         rotation, reference ``datasets.py:108-133``)."""
         idx = int(idx)
-        pos = self._pick_satellite(idx)
-        rotation = self._rotation(idx)
+        rng = self._rng(idx)
+        pos = self._pick_satellite(idx, rng)
+        rotation = self._rotation(idx, rng)
         sat_idx = int(self.index.labels[idx, pos])
         requests = {}
         if self.grd_cache is None:

@@ -41,6 +41,10 @@ def main(argv=None):
     for r in report["results"]:
         print(f"[{r['status']}] config {r['id']}: {r['name']} "
               f"({r['wall_s']}s)")
+    # explicit end-of-run barrier for pod launches (the per-config CLIs
+    # already finalize; this covers the runner's own report write)
+    from ..parallel import mesh as mesh_lib
+    mesh_lib.finalize_run("eval-runner-complete")
     return report
 
 

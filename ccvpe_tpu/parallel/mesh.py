@@ -33,15 +33,64 @@ def maybe_init_distributed():
     On TPU pods the process count/id come from JAX's cluster auto-detection
     (GCE/GKE metadata).  Off-pod launches (bare-metal hosts, the CI
     two-process CLI test) have no detector, so ``JAX_NUM_PROCESSES`` /
-    ``JAX_PROCESS_ID`` are honored explicitly when set."""
+    ``JAX_PROCESS_ID`` are honored explicitly when set.
+
+    Timeouts: JAX's distributed runtime runs an implicit all-process
+    barrier at interpreter exit; a host that reaches it more than
+    ``shutdown_timeout`` later than the rest (slow checkpoint finalize,
+    results write, atexit work) kills the whole job with a fatal
+    DEADLINE_EXCEEDED.  ``CCVPE_SHUTDOWN_TIMEOUT`` (seconds, default 900 —
+    3x JAX's 300s default) and ``CCVPE_INIT_TIMEOUT`` widen those windows;
+    pair with ``finalize_run`` so stragglers are absorbed at a *named*
+    barrier before exit rather than detonating the shutdown one."""
     if (os.environ.get("JAX_COORDINATOR_ADDRESS")
             and not jax.distributed.is_initialized()):
-        kwargs = {}
+        kwargs = dict(
+            shutdown_timeout_seconds=int(os.environ.get(
+                "CCVPE_SHUTDOWN_TIMEOUT", "900")),
+            initialization_timeout=int(os.environ.get(
+                "CCVPE_INIT_TIMEOUT", "300")))
         nproc = os.environ.get("JAX_NUM_PROCESSES")
         pid = os.environ.get("JAX_PROCESS_ID")
         if nproc is not None and pid is not None:
-            kwargs = dict(num_processes=int(nproc), process_id=int(pid))
+            kwargs.update(num_processes=int(nproc), process_id=int(pid))
         jax.distributed.initialize(**kwargs)
+
+
+def finalize_run(tag: str = "run-complete"):
+    """Explicit end-of-run barrier for multi-host launches (no-op otherwise).
+
+    Every CLI calls this after its last externally-visible effect (final
+    checkpoint write, results file, summary print).  Without it the only
+    end-of-run synchronization is the distributed runtime's *implicit*
+    shutdown barrier at interpreter exit, which has two failure modes on a
+    real pod: (a) a straggler host — e.g. process 0 finishing the orbax
+    finalize + results write after the others exit — trips the shutdown
+    deadline and kills an otherwise-successful job, and (b) the fatal error
+    fires *after* user code finished, so exit codes lie.  Synchronizing at
+    a named barrier here means every process leaves ``main`` together and
+    the shutdown barrier is immediate.
+
+    The barrier is the coordination service's own (a host-side RPC with an
+    explicit ``CCVPE_SHUTDOWN_TIMEOUT`` budget, default 900 s) rather than
+    ``sync_global_devices``: the latter lowers to a device collective whose
+    transport (Gloo on CPU meshes) has its own short, unconfigurable
+    timeout — exactly what a straggler must not hit."""
+    if jax.distributed.is_initialized() and jax.process_count() > 1:
+        timeout_ms = 1000 * int(os.environ.get("CCVPE_SHUTDOWN_TIMEOUT",
+                                               "900"))
+        try:
+            from jax._src import distributed as _distributed
+
+            client = getattr(_distributed.global_state, "client", None)
+        except ImportError:  # pragma: no cover - internal module moved
+            client = None
+        if client is not None:
+            client.wait_at_barrier(f"ccvpe:{tag}", timeout_ms)
+        else:  # pragma: no cover - internal API moved; device barrier
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ccvpe:{tag}")
 
 
 def create_mesh(n_data: int | None = None, n_model: int = 1,

@@ -126,6 +126,19 @@ def run(pid: int, nprocs: int, port: int, out: str) -> None:
     print(f"worker {pid}/{nprocs} done: step={step} "
           f"param_norm={param_norm:.6f}")
 
+    # straggler-proof exit: process 0 simulates a slow end-of-run effect
+    # (orbax finalize / results write on shared storage); the named
+    # finalize barrier must absorb the skew so all processes hit the
+    # distributed runtime's implicit shutdown barrier together instead of
+    # desyncing there (the round-4 pod CLI failure mode)
+    if nprocs > 1 and pid == 0:
+        import time
+
+        time.sleep(15)
+    from ccvpe_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.finalize_run("worker-complete")
+
 
 if __name__ == "__main__":
     run(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])

@@ -9,6 +9,7 @@ single-process 8-device run.  This executes the multi-host branches —
 ``jax.process_count() == 2``, the same code path a TPU pod uses.
 """
 
+import pytest
 import json
 import os
 import socket
@@ -16,6 +17,10 @@ import subprocess
 import sys
 
 import numpy as np
+
+# two-OS-process distributed launches (slow tier; run with --runslow)
+pytestmark = pytest.mark.slow
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multiproc_worker.py")

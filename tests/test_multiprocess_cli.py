@@ -24,6 +24,10 @@ import numpy as np
 import pytest
 from PIL import Image
 
+# pod-style CLI launches (3 full CLI runs) (slow tier; run with --runslow)
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CLI = os.path.join(REPO, "train_VIGOR.py")
 
@@ -70,13 +74,26 @@ def synthetic_vigor(tmp_path_factory):
     return root
 
 
-def _cli_env(n_local_devices: int, extra: dict | None = None) -> dict:
+def _cli_env(n_local_devices: int, cache_dir: str,
+             extra: dict | None = None) -> dict:
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # drop the pytest session's 8-device flag
     env["JAX_PLATFORMS"] = "cpu"
+    # JAX_PLATFORMS alone is unreliable on hosts whose sitecustomize
+    # force-registers an accelerator platform; CCVPE_PLATFORM pins cpu
+    # in-process (utils/platform.py) so the subprocesses never touch — or
+    # block on — a busy accelerator tunnel
+    env["CCVPE_PLATFORM"] = "cpu"
     env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
                         f"{n_local_devices}")
     env["JAX_DISABLE_MOST_OPTIMIZATIONS"] = "1"  # 2x faster smoke compile
+    # deflake on few-core hosts: both pod processes compile the same SPMD
+    # programs — a shared persistent compile cache lets the straggler load
+    # what the leader built instead of compiling serially behind it
+    env["CCVPE_COMPILATION_CACHE"] = cache_dir
+    # and give the end-of-run coordination generous slack anyway (the
+    # CLIs also sync at mesh.finalize_run before interpreter exit)
+    env["CCVPE_SHUTDOWN_TIMEOUT"] = "900"
     env.update(extra or {})
     return env
 
@@ -119,10 +136,11 @@ def _param_norm(ckpt_dir: str) -> tuple[float, int]:
 
 
 def test_pod_launch_through_the_cli(synthetic_vigor, tmp_path):
+    cache = str(tmp_path / "xla_cache")
     # golden: single process, 8 virtual devices
     r1, ck1 = str(tmp_path / "r1"), str(tmp_path / "ck1")
     p = subprocess.run(_cli_args(synthetic_vigor, ck1, r1),
-                       cwd=REPO, env=_cli_env(8), timeout=900,
+                       cwd=REPO, env=_cli_env(8, cache), timeout=900,
                        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                        text=True)
     assert p.returncode == 0, f"single-process CLI failed:\n{p.stdout}"
@@ -133,9 +151,10 @@ def test_pod_launch_through_the_cli(synthetic_vigor, tmp_path):
     procs = [subprocess.Popen(
         _cli_args(synthetic_vigor, ck2, r2),
         cwd=REPO,
-        env=_cli_env(4, {"JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
-                         "JAX_NUM_PROCESSES": "2",
-                         "JAX_PROCESS_ID": str(i)}),
+        env=_cli_env(4, cache,
+                     {"JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+                      "JAX_NUM_PROCESSES": "2",
+                      "JAX_PROCESS_ID": str(i)}),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
     logs = [proc.communicate(timeout=900)[0] for proc in procs]

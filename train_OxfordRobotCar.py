@@ -88,6 +88,15 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    ret = _main(argv)
+    # explicit end-of-run barrier for pod launches (see train_VIGOR.py and
+    # parallel/mesh.py::finalize_run)
+    from ccvpe_tpu.parallel import mesh as mesh_lib
+    mesh_lib.finalize_run()
+    return ret
+
+
+def _main(argv=None):
     args = parse_args(argv)
     training = args.training == "True"
     label = "OxfordRobotCar"
@@ -166,6 +175,7 @@ def main(argv=None):
                 trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
         rng = np.random.default_rng(0)
         for epoch in range(args.epochs):
+            train_sampler.set_epoch(epoch)  # fresh per-epoch augmentation draws
             order = limit(np.arange(len(train_index)))
             rng.shuffle(order)
             loader = pipeline.Loader(train_sampler, order, args.batch_size,

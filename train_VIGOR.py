@@ -104,6 +104,17 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    ret = _main(argv)
+    # explicit end-of-run barrier: on a pod every process leaves together
+    # (after process 0's checkpoint finalize + results write) instead of
+    # desyncing at JAX's implicit shutdown barrier — see
+    # parallel/mesh.py::finalize_run and docs/SCALING.md
+    from ccvpe_tpu.parallel import mesh as mesh_lib
+    mesh_lib.finalize_run()
+    return ret
+
+
+def _main(argv=None):
     args = parse_args(argv)
     training = args.training == "True"
     pos_only = args.pos_only == "True"
@@ -192,6 +203,7 @@ def main(argv=None):
             raw, train=False, sat_hw=sat_hw, bins=cfg.bins))
 
         for epoch in range(args.epochs):
+            sampler.set_epoch(epoch)  # fresh per-epoch augmentation draws
             order = train_idx.copy()
             rng.shuffle(order)
             loader = pipeline.Loader(sampler, order, args.batch_size,
