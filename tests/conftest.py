@@ -24,6 +24,24 @@ import pytest
 REFERENCE_DIR = "/root/reference"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (e2e oracles, multi-process "
+             "launches, long parity sweeps); the default run is the fast "
+             "tier (<5 min), the full suite `pytest --runslow` is the "
+             "release gate — see README")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def torch_oracle():
     """Import torch + the reference implementation as a numerical oracle.

@@ -22,6 +22,9 @@ import numpy as np
 import pytest
 from PIL import Image
 
+# e2e oracles drive full CLI eval loops (slow tier; run with --runslow)
+pytestmark = pytest.mark.slow
+
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
 

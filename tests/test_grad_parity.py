@@ -16,6 +16,9 @@ from ccvpe_tpu.io.torch_import import import_b0, import_cvm
 from ccvpe_tpu.models import cvm
 from ccvpe_tpu.train import losses as L
 
+# full-model torch-oracle backward sweeps (slow tier; run with --runslow)
+pytestmark = pytest.mark.slow
+
 
 def test_full_model_gradient_parity(torch_oracle):
     torch = torch_oracle
