@@ -154,6 +154,12 @@ def main():
             jax.device_get(params), ranges,
             select=quant_lib.resolve_select(
                 os.environ.get("CCVPE_QUANT_SELECT", "all")))
+        # commit the tree to the device: quantize_params leaves
+        # non-selected weights as host numpy, and uncommitted leaves
+        # re-upload per executable call — the round-3 "int8 loses" result
+        # (907 vs 1239) was THIS artifact, not the int8 program
+        # (benchmarks/QUANT_BENCH.json round 5)
+        params = jax.device_put(params)
     elif quant_mode:
         raise SystemExit(f"unknown CCVPE_BENCH_QUANT={quant_mode!r}")
 

@@ -83,6 +83,8 @@ def main():
     args = ap.parse_args()
 
     from ccvpe_tpu.utils import compilation_cache
+    from ccvpe_tpu.utils.platform import apply_env_platform
+    apply_env_platform()  # CCVPE_PLATFORM=cpu -> host-backend smoke
     compilation_cache.enable()
     from ccvpe_tpu.models import cvm
     from ccvpe_tpu.nn import quant as quant_lib
@@ -116,6 +118,9 @@ def main():
         else:
             p = quant_lib.quantize_params(
                 host_params, ranges, select=quant_lib.resolve_select(spec))
+            # commit to device once (api.quantize_int8 does the same);
+            # uncommitted host leaves re-upload on every dispatch
+            p = jax.device_put(p)
             qfrac = quant_lib.quantized_fraction(p)
         row = {"variant": spec,
                "quantized_weight_fraction": round(qfrac, 4)}

@@ -177,9 +177,14 @@ class CVMModel:
         (prefer a handful of real samples for deployment).
 
         ``select``: conv selection policy — ``"all"`` (every non-depthwise
-        conv) or ``"mxu"``/``"mxu:<threshold>"`` (only compute-bound convs,
-        ``nn.quant.mxu_bound_select``; the measured-faster choice on
-        bandwidth-bound models, see ARCHITECTURE.md).
+        conv, the default) or ``"mxu"``/``"mxu:<threshold>"`` (only
+        compute-bound convs, ``nn.quant.mxu_bound_select``).  Measured end
+        to end on the v5e (``benchmarks/QUANT_BENCH.json``): int8 beats
+        bf16 — ``all`` +12.8% in steady-state batch throughput (1401 vs
+        1242 pairs/s) and +2.6% per dispatch; the ``mxu`` policies land
+        within a few %, with ``mxu:120`` best per dispatch (+6.7%).  The
+        default stays ``all`` (fastest steady state, simplest contract);
+        see ARCHITECTURE.md "Lower precision".
         """
         from .nn import quant
 
@@ -214,6 +219,13 @@ class CVMModel:
             from .parallel import mesh as mesh_lib
 
             qparams = mesh_lib.replicate(self.mesh, qparams)
+        else:
+            # commit the whole tree to the device NOW: quantize_params
+            # leaves non-selected conv weights as the host-numpy copies it
+            # quantized from, and uncommitted leaves re-upload host->device
+            # on EVERY dispatch (measured 12-25x per-call slowdown,
+            # benchmarks/QUANT_BENCH.json round 5)
+            qparams = jax.device_put(qparams)
         self.params = qparams
         self._compiled.clear()
         return self

@@ -130,14 +130,17 @@ def default_select(path: str, node: dict) -> bool:
 def mxu_bound_select(threshold: float = 240.0) -> Callable[[str, dict], bool]:
     """Policy: quantize only convs that are MXU-(compute-)bound in bf16.
 
-    The activation quantize is an extra HBM sweep over the conv's input
-    (read bf16 + write int8 = 3 bytes/elem) that saves only 1 byte/elem on
-    the conv's own input read — **net +2 bytes/elem of traffic** — so on a
-    bandwidth-bound conv int8 is a strict loss, and the round-3 trace shows
-    exactly that: quantizing every conv turned 33.8% of the step into
-    ``clamp_convert`` sweeps and measured 907 vs 1239 pairs/s end to end.
-    The 2x-rate MXU only pays where the conv's FLOP time exceeds its byte
-    time.  Shape-only proxy for that ratio (activation-traffic dominated;
+    Rationale at design time: the activation quantize is an extra HBM
+    sweep over the conv's input (read bf16 + write int8 = 3 bytes/elem)
+    that saves only 1 byte/elem on the conv's own input read — net
+    +2 bytes/elem of traffic when the quantize does NOT fuse — so the
+    2x-rate MXU should only pay where the conv's FLOP time exceeds its
+    byte time.  (In practice XLA fuses most of the quantize sweeps into
+    producer epilogues, which is why ``all`` measures fine end to end —
+    see the measured-outcome note below; round 3's recorded all-conv loss
+    was an uncommitted-params artifact, ARCHITECTURE.md "Lower
+    precision".)  Shape-only proxy for that ratio (activation-traffic
+    dominated;
     weights amortize over the batch): per-output-pixel
     ``FLOPs / bytes = K²·Cin·Cout / (Cin + Cout)``, compared against the
     v5e's bf16 compute:bandwidth ratio ~197 TFLOP/s : 819 GB/s ≈ 240
@@ -146,6 +149,16 @@ def mxu_bound_select(threshold: float = 240.0) -> Callable[[str, dict], bool]:
     expand/project layers (those reach intensity ~240-340), and drops the
     narrower 1x1s (intensity ~100-230); raise the threshold past 340 to
     restrict selection to the 3x3 convs only.
+
+    Measured outcome (benchmarks/QUANT_BENCH.json, v5e, B=128, tree
+    committed to device): int8 wins under every policy — bf16 1242
+    pairs/s, int8-all 1401 (+12.8%), mxu 1338, mxu:120 1348, mxu:400 1339
+    in steady state; per dispatch the ordering flips slightly (mxu:120
+    1048 > mxu 1028 > all 1008 > bf16 983).  Restricting selection trades
+    the skipped convs' quantize sweeps for int8<->bf16 boundary regions,
+    so on this model the policies bracket each other within a few %;
+    ``all`` stays the default.  The knob matters more on parts with a
+    higher int8:bf16 rate ratio (v6e doubles it).
     """
 
     def select(path: str, node: dict) -> bool:
