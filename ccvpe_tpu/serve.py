@@ -354,7 +354,11 @@ def load_calibration_pairs(calib_dir: str, cfg, n: int = 16):
     return [(grd, sat)]
 
 
-def make_handler(service: PoseService):
+def make_handler(service: PoseService, max_body_bytes: int = 64 << 20):
+    """``max_body_bytes`` bounds per-request allocation: oversized uploads
+    are rejected with 413 from the Content-Length header, BEFORE any body
+    bytes are read or decoded — the admission semaphore and bounded batcher
+    queue bound *concurrency*; this bounds memory per connection."""
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj: dict):
             body = json.dumps(obj).encode()
@@ -377,7 +381,20 @@ def make_handler(service: PoseService):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    self._send(411, {"error": "bad Content-Length"})
+                    return
+                if n > max_body_bytes:
+                    # body never read: close the connection after replying
+                    # so the unread bytes can't be misparsed as a request
+                    self.close_connection = True
+                    self._send(413, {
+                        "error": f"request body {n} bytes exceeds the "
+                                 f"{max_body_bytes}-byte limit "
+                                 f"(--max_body_mb)"})
+                    return
                 payload = json.loads(self.rfile.read(n))
                 self._send(200, service.predict(payload))
             except KeyError as e:
@@ -394,8 +411,10 @@ def make_handler(service: PoseService):
 
 
 def build_server(service: PoseService, host: str = "127.0.0.1",
-                 port: int = 8571) -> ThreadingHTTPServer:
-    return ThreadingHTTPServer((host, port), make_handler(service))
+                 port: int = 8571,
+                 max_body_bytes: int = 64 << 20) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port),
+                               make_handler(service, max_body_bytes))
 
 
 def main(argv=None):
@@ -436,6 +455,10 @@ def main(argv=None):
     ap.add_argument("--queue_depth", type=int, default=0,
                     help="micro-batcher admission queue bound (default "
                          "4x batch); beyond it requests get 503")
+    ap.add_argument("--max_body_mb", type=int, default=64,
+                    help="reject request bodies over this size with 413 "
+                         "before reading them (bounds per-connection "
+                         "memory)")
     args = ap.parse_args(argv)
 
     from . import api
@@ -466,7 +489,8 @@ def main(argv=None):
         model.predict(rng.integers(0, 255, (*cfg.grd_hw, 3), dtype=np.uint8),
                       rng.integers(0, 255, (*cfg.sat_hw, 3), dtype=np.uint8))
         print("warmup compile done")
-    server = build_server(service, args.host, args.port)
+    server = build_server(service, args.host, args.port,
+                          max_body_bytes=args.max_body_mb << 20)
     print(f"serving {args.preset} on http://{args.host}:{args.port} "
           f"(/healthz, /predict)")
     try:
