@@ -568,3 +568,68 @@ def test_kitti_oxford_cache_equivalence(kitti_root, tmp_path):
     a, b = oplain(0), ocached(0)
     for key in a:
         np.testing.assert_array_equal(a[key], b[key]), key
+
+
+class TestCounterBasedSampleRNG:
+    """Pin the multi-host augmentation-RNG contract: per-sample draws are a
+    pure function of (seed, epoch, idx) — so they are identical no matter
+    which process fetches a sample or in what order (multi-host training
+    reproduces the single-process run), and ``set_epoch`` refreshes them.
+    See ``vigor.VigorSampler._rng``."""
+
+    @staticmethod
+    def _draws(plan: dict) -> tuple:
+        return tuple(v for k, v in sorted(plan.items())
+                     if isinstance(v, (int, float)) and k != "idx")
+
+    def test_vigor_order_and_process_independent(self, vigor_root):
+        idx = vigor.VigorIndex.load(vigor_root, "samearea", train=True)
+        mk = lambda: vigor.VigorSampler(idx, pos_only=False, ori_noise=180,
+                                        grd_hw=(32, 64), sat_hw=(64, 64))
+        n = len(idx)
+        fwd = [self._draws(mk().plan(i)) for i in range(n)]
+        one = mk()  # reversed fetch order on a single instance
+        rev = [self._draws(one.plan(i)) for i in reversed(range(n))][::-1]
+        assert fwd == rev
+        # a "second host" fetching only its stride sees the same draws
+        host1 = mk()
+        assert [self._draws(host1.plan(i)) for i in range(1, n, 2)] \
+            == fwd[1::2]
+
+    def test_vigor_epoch_and_seed_refresh(self, vigor_root):
+        idx = vigor.VigorIndex.load(vigor_root, "samearea", train=True)
+        s = vigor.VigorSampler(idx, ori_noise=180,
+                               grd_hw=(32, 64), sat_hw=(64, 64))
+        e0 = [self._draws(s.plan(i)) for i in range(len(idx))]
+        s.set_epoch(1)
+        e1 = [self._draws(s.plan(i)) for i in range(len(idx))]
+        assert e0 != e1          # fresh draws each epoch
+        s.set_epoch(0)
+        assert [self._draws(s.plan(i)) for i in range(len(idx))] == e0
+        s2 = vigor.VigorSampler(idx, ori_noise=180, seed=7,
+                                grd_hw=(32, 64), sat_hw=(64, 64))
+        assert [self._draws(s2.plan(i)) for i in range(len(idx))] != e0
+
+    def test_kitti_train_draw_contract(self, kitti_root):
+        index = kitti.KittiIndex.load(
+            kitti_root, os.path.join(kitti_root, "train_files.txt"),
+            test=False)
+        s = kitti.KittiSampler(index, rotation_range=10)
+        p0 = s.plan(0)
+        assert abs(p0["random_ori"]) <= 10.0
+        assert self._draws(kitti.KittiSampler(
+            index, rotation_range=10).plan(0)) == self._draws(p0)
+        s.set_epoch(3)
+        assert self._draws(s.plan(0)) != self._draws(p0)
+
+    def test_oxford_train_offsets_contract(self):
+        class S:  # _train_offsets reads only seed/epoch
+            seed, epoch = 0, 0
+
+        off = oxford.OxfordSampler._train_offsets(S, 5)
+        assert oxford.OxfordSampler._train_offsets(S, 5) == off
+        assert oxford.OxfordSampler._train_offsets(S, 6) != off
+        S.epoch = 1
+        assert oxford.OxfordSampler._train_offsets(S, 5) != off
+        # magnitude bound from the reference: r <= 200*sqrt(2)
+        assert np.hypot(*off) <= 200 * np.sqrt(2) + 1
