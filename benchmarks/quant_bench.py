@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """End-to-end int8-PTQ throughput: bf16 vs quant selection policies.
 
-Closes the evidence loop on the ``mxu`` conv-selection policy
-(``nn/quant.py::mxu_bound_select``): round 3 measured that quantizing
-*every* non-depthwise conv loses end to end (907 vs 1239 pairs/s — the
-activation-quantize sweeps add net HBM traffic on bandwidth-bound convs);
-the ``mxu`` policy quantizes only compute-bound convs and this bench
-records whether that actually wins on the chip, in one committed artifact
+Closes the evidence loop on the int8 conv-selection policies
+(``nn/quant.py``): round 3's recorded all-conv *loss* (907 vs 1239
+pairs/s) turned out to be an uncommitted-params artifact, not the int8
+program (see ARCHITECTURE.md "Lower precision") — with the quantized tree
+committed to the device, int8 wins under every policy (``all`` +12.8%
+steady state, ``mxu:120`` best per dispatch).  This bench measures bf16
+against each policy on the chip, in one committed artifact
 (``benchmarks/QUANT_BENCH.json``).
 
 Each variant is timed two ways in one process (shared backend + compile
