@@ -100,6 +100,14 @@ def measure(preset: str, b: int, dtype_name: str, remat, grad_accum: int,
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost["flops"])
+        if grad_accum > 1:
+            # XLA's cost analysis counts a lax.scan/while body ONCE; the
+            # grad-accum step runs it grad_accum times.  Scale the scanned
+            # microbatch work (the optimizer update outside the scan is
+            # FLOP-negligible) so MFU is comparable across configs.
+            flops *= grad_accum
+            record["flops_note"] = (f"scan body x{grad_accum} "
+                                    "(cost_analysis counts it once)")
     except Exception:
         flops = None
     if flops is not None:
