@@ -81,6 +81,27 @@ def _cast_params(params, param_dtype):
         lambda p: p.astype(param_dtype), params)
 
 
+def _check_encoder_shapes(init_tree, imported_tree, spec, model_cfg):
+    """Fail fast, with a nameable mismatch, when pretrained encoder weights
+    don't fit the configured model (e.g. a full B0 file into the shrunken
+    TINY/NANO test presets) — otherwise the bad shapes only explode later
+    inside the jitted step as an opaque conv error."""
+    init_leaves = jax.tree_util.tree_leaves_with_path(init_tree)
+    imp_leaves = jax.tree_util.tree_leaves_with_path(imported_tree)
+    init_shapes = {jax.tree_util.keystr(k): v.shape for k, v in init_leaves}
+    imp_shapes = {jax.tree_util.keystr(k): v.shape for k, v in imp_leaves}
+    bad = [f"{k}: model wants {init_shapes.get(k)} but file has "
+           f"{imp_shapes.get(k)}"
+           for k in sorted(set(init_shapes) | set(imp_shapes))
+           if init_shapes.get(k) != imp_shapes.get(k)]
+    if bad:
+        raise ValueError(
+            f"pretrained weights {spec!r} do not match the configured "
+            f"encoder (preset {getattr(model_cfg, 'name', model_cfg)!r}): "
+            + "; ".join(bad[:3])
+            + (f"; … {len(bad) - 3} more" if len(bad) > 3 else ""))
+
+
 def create_train_state(model_cfg: cvm.CVMConfig, rng, optimizer,
                        dtype=jnp.float32, param_dtype=None,
                        pretrained_b0: str | None = None) -> TrainState:
@@ -88,19 +109,25 @@ def create_train_state(model_cfg: cvm.CVMConfig, rng, optimizer,
     the optimizer is initialized on the full-precision params first so an
     ``f32_master`` wrapper captures the unrounded master copy.
 
-    ``pretrained_b0``: path to a raw EfficientNet-B0 torch state_dict (the
-    lukemelas release file); both encoders start from it — the reference's
+    ``pretrained_b0``: a raw EfficientNet-B0 torch state_dict (the
+    lukemelas release file) — a local path, or ``auto``/``efficientnet-bN``
+    to fetch through the verified download cache (``io/pretrained.py``);
+    both encoders start from it — the reference's
     ``EfficientNet.from_pretrained`` training init
     (``models.py:55,99``, ``efficientnet_pytorch/utils.py:729-762``; the
     classifier head ``_fc.*`` is unused, matching ``load_fc=False``).
     """
     params, bn_state = cvm.init(rng, model_cfg, dtype)
     if pretrained_b0 is not None:
+        from ..io.pretrained import resolve
         from ..io.torch_import import import_b0, load_state_dict
 
-        sd = load_state_dict(pretrained_b0)
+        sd = load_state_dict(resolve(pretrained_b0))
         for enc in ("grd_efficientnet", "sat_efficientnet"):
-            params[enc], bn_state[enc] = import_b0(sd)
+            imported = import_b0(sd)
+            _check_encoder_shapes(params[enc], imported[0], pretrained_b0,
+                                  model_cfg)
+            params[enc], bn_state[enc] = imported
     opt_state = optimizer.init(params)
     return TrainState(jnp.zeros((), jnp.int32),
                       _cast_params(params, param_dtype), bn_state, opt_state)

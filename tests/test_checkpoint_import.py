@@ -79,8 +79,8 @@ def test_pretrained_b0_init(torch_oracle, tmp_path):
 
     opt = train_loop.make_optimizer()
     state = train_loop.create_train_state(
-        cvm.NANO, jax.random.PRNGKey(0), opt, pretrained_b0=path)
-    ref = train_loop.create_train_state(cvm.NANO, jax.random.PRNGKey(0), opt)
+        cvm.TINY, jax.random.PRNGKey(0), opt, pretrained_b0=path)
+    ref = train_loop.create_train_state(cvm.TINY, jax.random.PRNGKey(0), opt)
 
     stem = b0.state_dict()["_conv_stem.weight"].numpy().transpose(2, 3, 1, 0)
     for enc in ("grd_efficientnet", "sat_efficientnet"):
@@ -93,6 +93,12 @@ def test_pretrained_b0_init(torch_oracle, tmp_path):
     np_.testing.assert_array_equal(
         np_.asarray(state.params["deconv6"]["w"]),
         np_.asarray(ref.params["deconv6"]["w"]))
+
+    # a full-B0 file cannot seed the shrunken NANO backbone: fail fast with
+    # a nameable shape mismatch, not an opaque conv error inside jit
+    with pytest.raises(ValueError, match="do not match the configured"):
+        train_loop.create_train_state(
+            cvm.NANO, jax.random.PRNGKey(0), opt, pretrained_b0=path)
 
 
 def test_torch_export_roundtrip(torch_oracle, monkeypatch):

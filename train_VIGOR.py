@@ -84,7 +84,8 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward/backward (f32 master weights)")
     p.add_argument("--pretrained_b0", type=str, default="",
-                   help="path to a raw EfficientNet-B0 torch state_dict; "
+                   help="EfficientNet-B0 torch state_dict: a local path, or "
+                        "'auto' to download+cache the release file; "
                         "both encoders start from it (the reference's "
                         "from_pretrained init)")
     p.add_argument("--bf16_params", action="store_true",
