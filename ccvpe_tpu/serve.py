@@ -387,13 +387,27 @@ def make_handler(service: PoseService, max_body_bytes: int = 64 << 20):
                     self._send(411, {"error": "bad Content-Length"})
                     return
                 if n > max_body_bytes:
-                    # body never read: close the connection after replying
-                    # so the unread bytes can't be misparsed as a request
+                    # body never buffered: reply 413 from the header alone,
+                    # then drain a bounded amount in fixed-size discarded
+                    # chunks (lingering close) so a client still sending
+                    # reads the 413 instead of a connection reset; close the
+                    # connection so unread bytes can't be misparsed as a
+                    # request
                     self.close_connection = True
                     self._send(413, {
                         "error": f"request body {n} bytes exceeds the "
                                  f"{max_body_bytes}-byte limit "
                                  f"(--max_body_mb)"})
+                    try:
+                        self.wfile.flush()
+                        left = min(n, 4 * max_body_bytes)
+                        while left > 0:
+                            chunk = self.rfile.read(min(left, 1 << 16))
+                            if not chunk:
+                                break
+                            left -= len(chunk)
+                    except OSError:
+                        pass  # client already gone
                     return
                 payload = json.loads(self.rfile.read(n))
                 self._send(200, service.predict(payload))
