@@ -25,9 +25,24 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
-import os, sys, time
+import logging, os, sys, time
 t0 = time.perf_counter()
 sys.path.insert(0, os.environ["CCVPE_REPO"])
+
+# Deterministic hit/miss detection: the remote-compile service's latency
+# has minutes-scale variance under load, so wall time alone cannot tell a
+# cache hit from a lucky compile.  JAX logs every persistent-cache hit at
+# DEBUG in jax._src.compiler; capture those records.
+_hits = []
+class _HitHandler(logging.Handler):
+    def emit(self, record):
+        msg = record.getMessage()
+        if "Persistent compilation cache hit for" in msg:
+            _hits.append(msg.split("'")[1])  # the jit function name
+_complog = logging.getLogger("jax._src.compiler")
+_complog.setLevel(logging.DEBUG)
+_complog.addHandler(_HitHandler())
+
 from ccvpe_tpu.utils.platform import apply_env_platform
 apply_env_platform()
 from ccvpe_tpu.utils import compilation_cache
@@ -75,9 +90,12 @@ else:
     st, parts = jstep(st, batch, jax.random.PRNGKey(1))
     float(parts["loss"])
 
+main_fn = "jit_step" if mode == "eval" else "jit_train_step"
 print(json.dumps({"import_and_data_s": round(t_import, 1),
                   "first_step_s": round(time.perf_counter() - t1, 1),
-                  "total_s": round(time.perf_counter() - t0, 1)}))
+                  "total_s": round(time.perf_counter() - t0, 1),
+                  "main_program_cache_hit": main_fn in _hits,
+                  "cache_hits": len(_hits)}))
 """.replace("json.dumps", "__import__('json').dumps")
 
 
@@ -98,10 +116,12 @@ def main():
     for mode, batch in (("eval", 128), ("train", 128)):
         with tempfile.TemporaryDirectory() as cache:
             cold = run_child(mode, batch, cache)
+            entries = len(os.listdir(cache))
             warm = run_child(mode, batch, cache)
         row = {"config": f"{mode} B={batch} bf16"
                          + (" remat-encoder" if mode == "train" else ""),
-               "cold": cold, "warm": warm}
+               "cold": cold, "cache_entries_after_cold": entries,
+               "warm": warm}
         results.append(row)
         print(json.dumps(row), flush=True)
     with open(out, "w") as f:
