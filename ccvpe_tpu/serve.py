@@ -354,12 +354,21 @@ def load_calibration_pairs(calib_dir: str, cfg, n: int = 16):
     return [(grd, sat)]
 
 
-def make_handler(service: PoseService, max_body_bytes: int = 64 << 20):
+def make_handler(service: PoseService, max_body_bytes: int = 64 << 20,
+                 request_timeout: float = 60.0):
     """``max_body_bytes`` bounds per-request allocation: oversized uploads
     are rejected with 413 from the Content-Length header, BEFORE any body
     bytes are read or decoded — the admission semaphore and bounded batcher
-    queue bound *concurrency*; this bounds memory per connection."""
+    queue bound *concurrency*; this bounds memory per connection.
+
+    ``request_timeout`` bounds per-connection *time*: the thread-per-
+    connection server otherwise lets a client that stalls mid-body (or
+    idles between keep-alive requests) pin a handler thread forever
+    (slowloris).  The socket timeout closes idle connections; a stall
+    mid-body gets 408 and a hard close (the half-read body could otherwise
+    be misparsed as the next pipelined request)."""
     class Handler(BaseHTTPRequestHandler):
+        timeout = request_timeout  # BaseHTTPRequestHandler: socket timeout
         def _send(self, code: int, obj: dict):
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -409,7 +418,14 @@ def make_handler(service: PoseService, max_body_bytes: int = 64 << 20):
                     except OSError:
                         pass  # client already gone
                     return
-                payload = json.loads(self.rfile.read(n))
+                try:
+                    raw = self.rfile.read(n)
+                except (TimeoutError, OSError):
+                    self.close_connection = True
+                    self._send(408, {"error": "timed out reading request "
+                                              "body (--request_timeout)"})
+                    return
+                payload = json.loads(raw)
                 self._send(200, service.predict(payload))
             except KeyError as e:
                 self._send(400, {"error": f"missing field {e}"})
@@ -426,9 +442,11 @@ def make_handler(service: PoseService, max_body_bytes: int = 64 << 20):
 
 def build_server(service: PoseService, host: str = "127.0.0.1",
                  port: int = 8571,
-                 max_body_bytes: int = 64 << 20) -> ThreadingHTTPServer:
-    return ThreadingHTTPServer((host, port),
-                               make_handler(service, max_body_bytes))
+                 max_body_bytes: int = 64 << 20,
+                 request_timeout: float = 60.0) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer(
+        (host, port),
+        make_handler(service, max_body_bytes, request_timeout))
 
 
 def main(argv=None):
@@ -473,6 +491,11 @@ def main(argv=None):
                     help="reject request bodies over this size with 413 "
                          "before reading them (bounds per-connection "
                          "memory)")
+    ap.add_argument("--request_timeout", type=float, default=60.0,
+                    help="per-connection socket timeout in seconds: idle "
+                         "or mid-body-stalled connections are closed (408 "
+                         "on a body stall) instead of pinning handler "
+                         "threads (bounds per-connection time)")
     args = ap.parse_args(argv)
 
     from . import api
@@ -504,7 +527,8 @@ def main(argv=None):
                       rng.integers(0, 255, (*cfg.sat_hw, 3), dtype=np.uint8))
         print("warmup compile done")
     server = build_server(service, args.host, args.port,
-                          max_body_bytes=args.max_body_mb << 20)
+                          max_body_bytes=args.max_body_mb << 20,
+                          request_timeout=args.request_timeout)
     print(f"serving {args.preset} on http://{args.host}:{args.port} "
           f"(/healthz, /predict)")
     try:

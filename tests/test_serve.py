@@ -438,3 +438,61 @@ def test_load_calibration_pairs_and_quantize(tmp_path):
     from ccvpe_tpu.nn import quant
 
     assert quant.quantized_fraction(model.params) > 0
+
+
+def test_stalled_body_times_out_with_408():
+    """A client that sends headers plus a partial body then stalls is cut
+    off by --request_timeout: it gets 408 and a hard close (the half-read
+    body must not be misparsed as a next request), the handler thread is
+    freed (slowloris bound), and normal requests are still served after."""
+    import socket
+    import time as time_mod
+
+    import jax
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(12),
+                                             cvm.NANO))
+    service = serve.PoseService(model, "NANO")
+    srv = serve.build_server(service, host="127.0.0.1", port=0,
+                             request_timeout=1.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    port = srv.server_address[1]
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=120)
+        s.sendall(b"POST /predict HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Type: application/json\r\n"
+                  b"Content-Length: 1000\r\n\r\n" + b'{"grd": "')
+        t0 = time_mod.monotonic()
+        data = b""
+        while b"\r\n\r\n" not in data or b"request_timeout" not in data:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        elapsed = time_mod.monotonic() - t0
+        assert data.split(b"\r\n", 1)[0].endswith(b"408 Request Timeout"), \
+            data[:80]
+        assert b"request_timeout" in data
+        # generous bound: the socket timeout is 1 s, but a core-starved CI
+        # host can delay the starved handler thread's scheduling a lot
+        assert elapsed < 90, elapsed
+        # hard close after the 408: the stream ends
+        s.settimeout(10)
+        rest = s.recv(65536)
+        while rest and len(rest) < (1 << 16):
+            more = s.recv(65536)
+            if not more:
+                break
+            rest += more
+        s.close()
+        # normal request still served afterwards
+        rng = np.random.default_rng(13)
+        grd = rng.integers(0, 255, (*cvm.NANO.grd_hw, 3), dtype=np.uint8)
+        sat = rng.integers(0, 255, (*cvm.NANO.sat_hw, 3), dtype=np.uint8)
+        url = f"http://127.0.0.1:{port}"
+        code, body = _post(url, {"grd": _b64_png(grd), "sat": _b64_png(sat)})
+        assert code == 200, body
+    finally:
+        srv.shutdown()
+        service.stop()
