@@ -131,16 +131,27 @@ def load_device_durations(logdir: str, exclude_prefix: str = "jit_",
         # named tf_XLAEigen/... — keep those, drop the runtime envelopes
         device_pids = set(pid_names)
         op_tids = {k for k, n in tid_names.items() if n.startswith("tf_XLA")}
-    durations: collections.Counter = collections.Counter()
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
-        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
-            continue
-        name = e.get("name", "?")
-        if name.startswith(exclude_prefix) or "::" in name:
-            continue
-        durations[name] += e.get("dur", 0)
+    def _collect(tids) -> collections.Counter:
+        durations: collections.Counter = collections.Counter()
+        for e in events:
+            if e.get("ph") != "X" or e.get("pid") not in device_pids:
+                continue
+            if tids and (e.get("pid"), e.get("tid")) not in tids:
+                continue
+            name = e.get("name", "?")
+            if name.startswith(exclude_prefix) or "::" in name:
+                continue
+            durations[name] += e.get("dur", 0)
+        return durations
+
+    durations = _collect(op_tids)
+    if not durations and op_tids:
+        # XLA:CPU sometimes runs a small program inline on the calling
+        # thread while the tf_XLA* pool threads (whose metadata persists
+        # from an earlier dispatch) stay idle — the tid filter then drops
+        # every op span.  Re-collect across all threads; the name filters
+        # still drop the jit_<fn> module envelopes and runtime frames.
+        durations = _collect(None)
     return durations, len(paths)
 
 

@@ -28,8 +28,9 @@ def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
         help="also run tests marked slow (e2e oracles, multi-process "
-             "launches, long parity sweeps); the default run is the fast "
-             "tier (<5 min), the full suite `pytest --runslow` is the "
+             "launches, long parity/equivalence sweeps); the default run "
+             "is the fast tier (~9 min on a 1-core CI host, well under 5 "
+             "on a dev box), the full suite `pytest --runslow` is the "
              "release gate — see README")
 
 

@@ -243,6 +243,7 @@ def test_load_model_corrupt_checkpoint_surfaces_cause(tmp_path):
     assert any(is_real_cause(err) for err in chain), chain
 
 
+@pytest.mark.slow
 def test_export_dynamic_batch(tmp_path):
     """batch='dynamic' exports one artifact with a symbolic batch dim that
     serves any batch size and matches fixed-batch predictions."""
@@ -263,6 +264,7 @@ def test_export_dynamic_batch(tmp_path):
             assert (g.row, g.col) == (w.row, w.col)
 
 
+@pytest.mark.slow
 def test_predict_batch_data_parallel_mesh():
     """mesh='data' shards predict_batch over the 8 virtual devices and
     reproduces single-device poses exactly; a non-divisible single-pair

@@ -61,6 +61,7 @@ def test_visualizer_smoke(synthetic_vigor, tmp_path):  # noqa: F811
     assert os.path.exists(out) and os.path.getsize(out) > 1000
 
 
+@pytest.mark.slow
 def test_pretrained_b0_init(torch_oracle, tmp_path):
     """--pretrained_b0: a raw EfficientNet-B0 state_dict file seeds both
     encoders of a fresh TrainState (reference ``from_pretrained`` init);

@@ -337,6 +337,7 @@ def test_train_vigor_cli_perf_flags_smoke(synthetic_vigor, tmp_path):
     assert any("summary.json" in f for f in files)
 
 
+@pytest.mark.slow
 def test_profile_dir_captures_trace(synthetic_vigor, tmp_path):
     """--profile_dir produces a jax.profiler trace even on a short epoch
     (VERDICT r2 #6: the flag must reach Trainer(profile_dir=...))."""

@@ -141,6 +141,7 @@ def test_fused_epilogue_gradients():
     assert_close(gg_p, gg_e, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_forward_pallas_matches_einsum():
     """Full NANO forward with matching_impl='pallas' (fused epilogue where
     dispatched, interpreter on CPU) equals the einsum forward."""

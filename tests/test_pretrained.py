@@ -147,6 +147,7 @@ def test_advprop_map(weight_server, monkeypatch):
     assert open(path, "rb").read() == content
 
 
+@pytest.mark.slow
 def test_create_train_state_auto(weight_server, torch_oracle, tmp_path):
     """Full path: ``create_train_state(pretrained_b0='auto')`` downloads the
     release file through the cache and seeds both encoders (the reference's

@@ -79,6 +79,7 @@ def test_data_parallel_matches_single_device(tiny_setup):
         assert abs(a - b) < 1e-4 * max(1.0, abs(a)), (k, a, b)
 
 
+@pytest.mark.slow
 def test_hybrid_tensor_parallel_matches_single_device(tiny_setup):
     """Mesh(4 data, 2 model) with TP state shardings: two train steps must
     reproduce single-device numerics (loss parts and gradient norm) — the
@@ -113,6 +114,7 @@ def test_hybrid_tensor_parallel_matches_single_device(tiny_setup):
             assert abs(a - b) < tol * max(1.0, abs(a)), (i, k, a, b)
 
 
+@pytest.mark.slow
 def test_grad_accum_on_mesh_matches_single_device(tiny_setup):
     """--grad_accum under a sharded mesh: the in-jit microbatch scan must
     reproduce single-device grad-accum numerics (the reshape to
@@ -166,6 +168,7 @@ def test_remat_grad_accum_zero1_compose(tiny_setup):
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow
 def test_zero1_matches_replicated(tiny_setup):
     """ZeRO-1 data-axis sharding of the optimizer state is a layout choice:
     two train steps must reproduce the replicated-state numerics (loss,
@@ -286,6 +289,7 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_training_learns_overfit(tiny_setup):
     """30 donated steps on one fixed batch must drive the loss down
     substantially — catches loss-sign/gradient-plumbing errors that
@@ -309,6 +313,7 @@ def test_training_learns_overfit(tiny_setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_trainer_checkpoint_cadence_and_resume(tiny_setup, tmp_path):
     """The global step advances every batch; mid-epoch saves fire every
     ``checkpoint_every_steps``; per-epoch saves are keyed by the true global
@@ -354,6 +359,7 @@ def test_trainer_checkpoint_cadence_and_resume(tiny_setup, tmp_path):
     tr2.ckpt.close()
 
 
+@pytest.mark.slow
 def test_bf16_param_residency(tiny_setup):
     """bf16-resident params with an f32 master: the master stays float32,
     the resident params track cast(master) after every step, and the loss
@@ -522,6 +528,7 @@ def test_trainer_rejects_microbatch_not_dividing_mesh():
     assert 8 % (len(tr.mesh.devices.flat) * 2) == 0
 
 
+@pytest.mark.slow
 def test_grad_accum_approximates_full_batch(tiny_setup):
     """grad_accum=N averages per-microbatch grads (torch-style accumulation:
     BN normalizes per microbatch, so parity with the single big batch is
