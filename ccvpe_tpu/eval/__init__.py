@@ -110,8 +110,16 @@ def build_configs(args) -> list[dict]:
 def run_config(cfg: dict) -> dict:
     import importlib
 
+    from ..parallel import mesh
+
     mod = importlib.import_module(cfg["module"])
     t0 = time.time()
+    # Each CLI main() ends with mesh.finalize_run() — a named, counted
+    # multi-host barrier.  If this host's main() fails BEFORE reaching it
+    # while the other hosts' succeed, this host must still join that
+    # barrier or every subsequent config desyncs; track the per-process
+    # finalize count and catch up in the failure paths.
+    expect = mesh.finalize_count() + (len(cfg["sub"]) if "sub" in cfg else 1)
     try:
         if "sub" in cfg:
             metrics = {name: mod.main(argv)
@@ -126,6 +134,11 @@ def run_config(cfg: dict) -> dict:
         # still written
         metrics = {"error": f"{type(e).__name__}: {e}"}
         status = "failed"
+    while mesh.finalize_count() < expect:
+        try:
+            mesh.finalize_run()
+        except Exception:  # barrier timeout: peers died; keep reporting
+            break
     return {
         "id": cfg["id"],
         "name": cfg["name"],

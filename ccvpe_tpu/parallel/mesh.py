@@ -57,6 +57,20 @@ def maybe_init_distributed():
         jax.distributed.initialize(**kwargs)
 
 
+# Monotone count of finalize_run calls in this process.  Barrier names
+# embed it so sequential runs in one process (the eval runner invokes
+# several CLI mains back to back) each get a DISTINCT barrier: if one host
+# skips a finalize (its run_config failed before the CLI reached it), the
+# desynced hosts time out on mismatched names — a bounded, nameable error —
+# instead of silently pairing host A's run-k barrier with host B's run-k+1.
+_finalize_count = 0
+
+
+def finalize_count() -> int:
+    """How many times finalize_run has been called in this process."""
+    return _finalize_count
+
+
 def finalize_run(tag: str = "run-complete"):
     """Explicit end-of-run barrier for multi-host launches (no-op otherwise).
 
@@ -76,6 +90,9 @@ def finalize_run(tag: str = "run-complete"):
     ``sync_global_devices``: the latter lowers to a device collective whose
     transport (Gloo on CPU meshes) has its own short, unconfigurable
     timeout — exactly what a straggler must not hit."""
+    global _finalize_count
+    _finalize_count += 1
+    name = f"ccvpe:{tag}:{_finalize_count}"
     if jax.distributed.is_initialized() and jax.process_count() > 1:
         timeout_ms = 1000 * int(os.environ.get("CCVPE_SHUTDOWN_TIMEOUT",
                                                "900"))
@@ -86,11 +103,11 @@ def finalize_run(tag: str = "run-complete"):
         except ImportError:  # pragma: no cover - internal module moved
             client = None
         if client is not None:
-            client.wait_at_barrier(f"ccvpe:{tag}", timeout_ms)
+            client.wait_at_barrier(name, timeout_ms)
         else:  # pragma: no cover - internal API moved; device barrier
             from jax.experimental import multihost_utils
 
-            multihost_utils.sync_global_devices(f"ccvpe:{tag}")
+            multihost_utils.sync_global_devices(name)
 
 
 def create_mesh(n_data: int | None = None, n_model: int = 1,

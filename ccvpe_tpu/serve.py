@@ -385,6 +385,30 @@ def make_handler(service: PoseService, max_body_bytes: int = 64 << 20,
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
+        def _read_body(self, n: int) -> bytes:
+            """Read exactly ``n`` bytes under a WHOLE-BODY deadline.
+
+            The socket timeout alone is per-recv (idle): a trickle client
+            sending 1 byte per 59 s would extend a single ``read(n)``
+            indefinitely.  Chunked ``read1`` issues at most one recv per
+            loop iteration, each with the *remaining* deadline budget, so
+            the total read is bounded by ~request_timeout regardless of
+            the client's send pattern."""
+            deadline = time.monotonic() + request_timeout
+            chunks, got = [], 0
+            while got < n:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError("body deadline exceeded")
+                self.connection.settimeout(remaining)
+                chunk = self.rfile.read1(min(n - got, 1 << 16))
+                if not chunk:
+                    raise OSError("client closed mid-body")
+                chunks.append(chunk)
+                got += len(chunk)
+            self.connection.settimeout(request_timeout)
+            return b"".join(chunks)
+
         def do_POST(self):  # noqa: N802
             if self.path != "/predict":
                 self._send(404, {"error": f"unknown path {self.path}"})
@@ -392,7 +416,14 @@ def make_handler(service: PoseService, max_body_bytes: int = 64 << 20,
             try:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                    if n < 0:
+                        raise ValueError(n)
                 except ValueError:
+                    # length unknown/negative: the body can't be skipped or
+                    # safely read (read(-1) would buffer until EOF,
+                    # unbounded), so close instead of keep-alive — leftover
+                    # body bytes must not parse as the next request
+                    self.close_connection = True
                     self._send(411, {"error": "bad Content-Length"})
                     return
                 if n > max_body_bytes:
@@ -401,7 +432,7 @@ def make_handler(service: PoseService, max_body_bytes: int = 64 << 20,
                     # chunks (lingering close) so a client still sending
                     # reads the 413 instead of a connection reset; close the
                     # connection so unread bytes can't be misparsed as a
-                    # request
+                    # request.  The drain is bounded in bytes AND time.
                     self.close_connection = True
                     self._send(413, {
                         "error": f"request body {n} bytes exceeds the "
@@ -409,9 +440,14 @@ def make_handler(service: PoseService, max_body_bytes: int = 64 << 20,
                                  f"(--max_body_mb)"})
                     try:
                         self.wfile.flush()
+                        deadline = time.monotonic() + request_timeout
                         left = min(n, 4 * max_body_bytes)
                         while left > 0:
-                            chunk = self.rfile.read(min(left, 1 << 16))
+                            remaining = deadline - time.monotonic()
+                            if remaining <= 0:
+                                break
+                            self.connection.settimeout(remaining)
+                            chunk = self.rfile.read1(min(left, 1 << 16))
                             if not chunk:
                                 break
                             left -= len(chunk)
@@ -419,7 +455,7 @@ def make_handler(service: PoseService, max_body_bytes: int = 64 << 20,
                         pass  # client already gone
                     return
                 try:
-                    raw = self.rfile.read(n)
+                    raw = self._read_body(n)
                 except (TimeoutError, OSError):
                     self.close_connection = True
                     self._send(408, {"error": "timed out reading request "
@@ -492,10 +528,11 @@ def main(argv=None):
                          "before reading them (bounds per-connection "
                          "memory)")
     ap.add_argument("--request_timeout", type=float, default=60.0,
-                    help="per-connection socket timeout in seconds: idle "
-                         "or mid-body-stalled connections are closed (408 "
-                         "on a body stall) instead of pinning handler "
-                         "threads (bounds per-connection time)")
+                    help="per-connection time bound in seconds: both the "
+                         "idle socket timeout and the whole-request-body "
+                         "read deadline (a trickle sender cannot extend "
+                         "it); idle connections close, a body stall gets "
+                         "408 (bounds per-connection time)")
     args = ap.parse_args(argv)
 
     from . import api

@@ -417,3 +417,19 @@ def test_keep_checkpoints_zero_keeps_all(synthetic_vigor, tmp_path):
 
     steps = CheckpointManager(ck, max_to_keep=None).all_steps()
     assert steps == [1, 2, 3], steps
+
+
+def test_eval_runner_finalize_lockstep_on_failure():
+    """If a config's CLI main() dies BEFORE its finalize_run barrier, the
+    runner catches up the per-process finalize count so a multi-host eval
+    stays barrier-aligned for the remaining configs (each finalize uses a
+    counted, distinct barrier name — see parallel/mesh.py)."""
+    from ccvpe_tpu.eval import run_config
+    from ccvpe_tpu.parallel import mesh
+
+    before = mesh.finalize_count()
+    rec = run_config({"id": 99, "name": "boom",
+                      "module": "tests.fake_failing_cli", "argv": []})
+    assert rec["status"] == "failed"
+    assert "boom" in rec["metrics"]["error"]
+    assert mesh.finalize_count() == before + 1

@@ -496,3 +496,92 @@ def test_stalled_body_times_out_with_408():
     finally:
         srv.shutdown()
         service.stop()
+
+
+def test_negative_content_length_rejected_and_closed():
+    """Content-Length: -1 must not reach rfile.read(-1) (which buffers until
+    EOF, unbounded — the DoS the body cap exists to stop): it gets 411 and
+    the connection closes so body bytes can't parse as a next request."""
+    import http.client
+
+    import jax
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(12),
+                                             cvm.NANO))
+    service = serve.PoseService(model, "NANO")
+    srv = serve.build_server(service, host="127.0.0.1", port=0,
+                             max_body_bytes=1 << 20)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          srv.server_address[1], timeout=60)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        # body bytes that must NOT be parsed as a next request
+        conn.send(b'GET /healthz HTTP/1.1\r\nHost: t\r\n\r\n')
+        resp = conn.getresponse()
+        assert resp.status == 411, resp.status
+        resp.read()
+        # server closed the connection: reusing it fails cleanly
+        assert resp.isclosed()
+        conn.close()
+    finally:
+        srv.shutdown()
+        service.stop()
+
+
+def test_trickle_body_cannot_extend_deadline():
+    """--request_timeout is a WHOLE-BODY deadline, not just an idle timeout:
+    a client sending one byte every 0.2 s (never idle) still gets cut off
+    with 408 once the deadline passes."""
+    import socket
+    import time as time_mod
+
+    import jax
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(12),
+                                             cvm.NANO))
+    service = serve.PoseService(model, "NANO")
+    srv = serve.build_server(service, host="127.0.0.1", port=0,
+                             request_timeout=1.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    port = srv.server_address[1]
+    stop = threading.Event()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=120)
+        s.sendall(b"POST /predict HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Type: application/json\r\n"
+                  b"Content-Length: 100000\r\n\r\n")
+
+        def trickle():
+            while not stop.is_set():
+                try:
+                    s.sendall(b"A")
+                except OSError:
+                    return
+                stop.wait(0.2)
+
+        sender = threading.Thread(target=trickle, daemon=True)
+        sender.start()
+        t0 = time_mod.monotonic()
+        data = b""
+        while b"\r\n\r\n" not in data or b"request_timeout" not in data:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        elapsed = time_mod.monotonic() - t0
+        stop.set()
+        assert data.split(b"\r\n", 1)[0].endswith(b"408 Request Timeout"), \
+            data[:80]
+        # deadline ~1 s + at most one extra recv budget + load headroom
+        assert elapsed < 90, elapsed
+        s.close()
+    finally:
+        stop.set()
+        srv.shutdown()
+        service.stop()
