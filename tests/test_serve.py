@@ -585,3 +585,127 @@ def test_trickle_body_cannot_extend_deadline():
         stop.set()
         srv.shutdown()
         service.stop()
+
+
+@pytest.mark.slow
+def test_abuse_soak_mixed_traffic():
+    """Composition soak: normal requests, oversized bodies, negative
+    Content-Length, trickle senders, and a 503-provoking flood all hit one
+    server CONCURRENTLY for ~20 s. The bounds must compose: the server
+    stays alive, normal traffic keeps getting 200s (or clean 503s under
+    flood), abuse gets its designated status, and nothing surfaces as an
+    unexpected 500 or a crash."""
+    import concurrent.futures
+    import http.client
+    import socket
+    import time as time_mod
+
+    import jax
+
+    model = api.CVMModel(cvm.NANO, *cvm.init(jax.random.PRNGKey(12),
+                                             cvm.NANO))
+    service = serve.PoseService(model, "NANO", batch=2, max_wait_ms=5.0)
+    srv = serve.build_server(service, host="127.0.0.1", port=0,
+                             max_body_bytes=1 << 20, request_timeout=2.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    port = srv.server_address[1]
+    url = f"http://127.0.0.1:{port}"
+    rng = np.random.default_rng(21)
+    grd = rng.integers(0, 255, (*cvm.NANO.grd_hw, 3), dtype=np.uint8)
+    sat = rng.integers(0, 255, (*cvm.NANO.sat_hw, 3), dtype=np.uint8)
+    ok_payload = {"grd": _b64_png(grd), "sat": _b64_png(sat)}
+    model.predict(grd, sat)  # warm the compile outside the soak window
+    stop = threading.Event()
+    codes: dict = {"normal": [], "giant": [], "negcl": [], "trickle": []}
+
+    def normal_client():
+        while not stop.is_set():
+            code, _ = _post(url, ok_payload)
+            codes["normal"].append(code)
+
+    def giant_client():
+        giant = json.dumps({"grd": "A" * (2 << 20), "sat": "A"}).encode()
+        while not stop.is_set():
+            req = urllib.request.Request(
+                url + "/predict", data=giant,
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req) as r:
+                    codes["giant"].append(r.status)
+            except urllib.error.HTTPError as e:
+                e.read()
+                codes["giant"].append(e.code)
+            except OSError:
+                codes["giant"].append(-1)  # reset under extreme load: rare
+
+    def negcl_client():
+        while not stop.is_set():
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=60)
+                conn.putrequest("POST", "/predict")
+                conn.putheader("Content-Length", "-1")
+                conn.endheaders()
+                resp = conn.getresponse()
+                resp.read()
+                codes["negcl"].append(resp.status)
+                conn.close()
+            except OSError:
+                codes["negcl"].append(-1)
+
+    def trickle_client():
+        while not stop.is_set():
+            try:
+                s = socket.create_connection(("127.0.0.1", port),
+                                             timeout=60)
+                s.sendall(b"POST /predict HTTP/1.1\r\nHost: t\r\n"
+                          b"Content-Length: 50000\r\n\r\n")
+                data = b""
+                while b"\r\n\r\n" not in data:
+                    try:
+                        s.sendall(b"B")
+                    except OSError:
+                        break
+                    try:
+                        s.settimeout(0.25)
+                        data += s.recv(65536)
+                    except TimeoutError:
+                        continue
+                    except OSError:
+                        break
+                    if not data:
+                        break
+                if b" " in data[:12]:
+                    codes["trickle"].append(int(data.split(b" ")[1]))
+                s.close()
+            except OSError:
+                codes["trickle"].append(-1)
+
+    workers = ([normal_client] * 3 + [giant_client] * 2 + [negcl_client]
+               + [trickle_client] * 2)
+    with concurrent.futures.ThreadPoolExecutor(len(workers)) as pool:
+        futs = [pool.submit(w) for w in workers]
+        time_mod.sleep(20)
+        stop.set()
+        for f in futs:
+            f.result(timeout=120)
+
+    try:
+        # the server survived and still serves
+        code, _ = _post(url, ok_payload)
+        assert code == 200
+        with urllib.request.urlopen(url + "/metrics") as r:
+            metrics = json.loads(r.read())
+        # every traffic class got its designated handling
+        assert codes["normal"], "no normal requests completed"
+        assert set(codes["normal"]) <= {200, 503}, set(codes["normal"])
+        assert 200 in codes["normal"], "normal traffic starved out entirely"
+        assert set(codes["giant"]) <= {413, -1}, set(codes["giant"])
+        assert 413 in codes["giant"]
+        assert set(codes["negcl"]) <= {411, -1}, set(codes["negcl"])
+        assert set(codes["trickle"]) <= {408, -1}, set(codes["trickle"])
+        assert metrics["requests"] >= len(codes["normal"])
+    finally:
+        srv.shutdown()
+        service.stop()
