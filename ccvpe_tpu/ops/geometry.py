@@ -135,9 +135,20 @@ def kitti_alignment_chain_batched(sat, heading, mpp: float, camera_shift,
 
 
 def center_crop(img, side: int):
+    """torchvision ``TF.center_crop`` semantics (reference
+    ``datasets.py:464``): the offset is ``int(round((h - side) / 2))``
+    (banker's rounding — NOT floor, which shifts the crop one pixel when
+    ``(h - side) % 4 == 3``), and a crop larger than the image zero-pads
+    symmetrically instead of mis-slicing with a negative start."""
     h, w = img.shape[:2]
-    top = (h - side) // 2
-    left = (w - side) // 2
+    if side > h or side > w:
+        ph, pw = max(side - h, 0), max(side - w, 0)
+        pad = ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)) + \
+            ((0, 0),) * (img.ndim - 2)
+        img = jnp.pad(img, pad)
+        h, w = img.shape[:2]
+    top = int(round((h - side) / 2))
+    left = int(round((w - side) / 2))
     return img[top:top + side, left:left + side]
 
 

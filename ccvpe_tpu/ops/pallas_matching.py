@@ -60,7 +60,10 @@ def _pick_tile(hw: int, cs: int, budget_bytes: int = 1 << 21,
     slice the output back.
     """
     # larger tiles amortize the lane padding of small channel counts; the
-    # budget bounds the f32 tile so the kernel's working set fits scoped VMEM
+    # budget bounds the tile to budget_bytes/cs ELEMENTS (i.e. a 4x-larger
+    # f32 byte footprint — tile*cs*4 <= 8 MB at the default), which the
+    # shipped per-scale dispatch shapes were measured to fit in scoped VMEM
+    # alongside the x^2 temp and double-buffered operand blocks
     budget = max(512, min(cap, budget_bytes // max(cs, 1)))
     tiles = (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
     for t in tiles:
@@ -68,10 +71,13 @@ def _pick_tile(hw: int, cs: int, budget_bytes: int = 1 << 21,
             return t, hw
     if hw <= budget:
         return hw, hw
-    # minimize padded extent among in-budget tiles (largest on ties: fewer
-    # grid steps) — e.g. hw=1025 at budget 1024 pads to 1032 with t=8, not
-    # to 2048 with t=1024
-    best = min((t for t in tiles if t <= budget),
+    # pad fallback (non-divisible custom spatial maps): minimize the padded
+    # extent among in-budget tiles that still fill the MXU reasonably —
+    # tiny tiles also minimize padding but explode the grid-step count
+    # (hw=4356: t=8 pads to just 4360 but takes 545 steps of 8-row
+    # matmuls; t=512 pads to 4608 in 9 steps).  Largest tile on ties.
+    floor_t = min(256, budget)
+    best = min((t for t in tiles if floor_t <= t <= budget),
                key=lambda t: (-(-hw // t) * t, -t))
     return best, -(-hw // best) * best
 
@@ -103,13 +109,12 @@ def _forward(x, g, shift: int, offsets: tuple[int, ...], window: str,
     gnorm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)),
                              axis=-1))[:, None]           # [B, 1]
 
-    import functools as _ft
     xf = x.reshape(b, hw, cs)
     if hw_pad != hw:
         # zero rows produce 0/0 in the cosine epilogue; sliced off below
         xf = jnp.pad(xf, ((0, 0), (0, hw_pad - hw), (0, 0)))
     out = pl.pallas_call(
-        _ft.partial(_kernel, full_window=full_window),
+        functools.partial(_kernel, full_window=full_window),
         grid=(b, hw_pad // tile),
         in_specs=[
             pl.BlockSpec((1, tile, cs), lambda i, j: (i, j, 0),

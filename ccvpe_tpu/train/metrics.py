@@ -27,15 +27,6 @@ VIGOR_METER_PER_PIXEL = {
 OXFORD_METER_PER_PIXEL = 0.09240351462361521 * 800 / 512
 
 
-def kitti_meter_per_pixel(lat: float = 49.015, zoom: int = 18,
-                          scale: float = 1.0) -> float:
-    """Web-mercator ground resolution (reference ``datasets.py:368-372``)."""
-    mpp = 156543.03392 * np.cos(lat * np.pi / 180.0) / (2 ** zoom)
-    mpp /= 2  # satmap fetched at scale 2
-    mpp /= scale
-    return mpp
-
-
 def argmax_2d(maps):
     """[B, H, W] -> (rows [B], cols [B]) of the per-sample argmax."""
     b, h, w = maps.shape
@@ -151,6 +142,12 @@ class PoseErrorAccumulator:
                 np.abs(np.sin(np.radians(diff)) * px) * mpp)
 
     def summary(self):
+        if not self.distance_m:
+            # an empty eval (empty split / over-trimmed --steps_per_epoch)
+            # must fail loudly, not write NaN metrics into epoch results
+            raise ValueError(
+                "PoseErrorAccumulator.summary() with zero accumulated "
+                "samples — the eval loader produced no batches")
         out = {
             "mean_distance_m": float(np.mean(self.distance_m)),
             "median_distance_m": float(np.median(self.distance_m)),

@@ -88,3 +88,28 @@ def test_batched_traced_chain_matches_per_sample():
                       - np.asarray(single).astype(int))
         # traced trig skips PIL's 15-decimal rounding: tiny tie differences
         assert np.mean(diff <= 1) > 0.99
+
+
+def test_center_crop_torchvision_round_semantics():
+    """center_crop stands in for torchvision TF.center_crop in the KITTI
+    chain (reference datasets.py:464): the offset uses round (banker's),
+    not floor — h=515, side=512 crops from row 2, not row 1."""
+    import jax.numpy as jnp
+
+    arr = np.arange(515 * 515 * 1, dtype=np.float32).reshape(515, 515, 1)
+    got = np.asarray(geometry.center_crop(jnp.asarray(arr), 512))
+    # torchvision: top = int(round((515 - 512) / 2.0)) == 2
+    np.testing.assert_array_equal(got, arr[2:514, 2:514])
+
+
+def test_center_crop_pads_when_larger_than_image():
+    """side > image: zero-pad symmetrically (torchvision behavior), never
+    slice from a negative start (which silently returns the wrong shape)."""
+    import jax.numpy as jnp
+
+    arr = np.ones((5, 8, 3), dtype=np.float32)
+    got = np.asarray(geometry.center_crop(jnp.asarray(arr), 8))
+    assert got.shape == (8, 8, 3)
+    # 5 -> 8 pads (1, 2) rows (torchvision pads floor on the leading side)
+    np.testing.assert_array_equal(got[1:6, :, :], arr)
+    assert (got[0] == 0).all() and (got[6:] == 0).all()

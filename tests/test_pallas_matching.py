@@ -159,3 +159,18 @@ def test_model_forward_pallas_matches_einsum():
     assert_close(out_p.ori, out_e.ori, atol=1e-5, rtol=1e-5)
     for a, b in zip(out_p.matching_scores, out_e.matching_scores):
         assert_close(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_pick_tile_fallback_prefers_mxu_filling_tiles():
+    """The pad fallback must not minimize padding with tiny tiles: hw=4356
+    at cs=320 should tile at >=256 rows (handfuls of grid steps), not 8
+    rows (545 steps of near-empty matmuls), while keeping padding small."""
+    from ccvpe_tpu.ops.pallas_matching import _pick_tile
+
+    tile, hw_pad = _pick_tile(66 * 66, 320)
+    assert tile >= 256, tile
+    assert hw_pad % tile == 0 and hw_pad >= 66 * 66
+    assert (hw_pad - 66 * 66) / (66 * 66) < 0.10  # <10% padded work
+    # divisible shipped shapes are untouched by the fallback policy
+    assert _pick_tile(4096, 320) == (4096, 4096)
+    assert _pick_tile(1024, 1280) == (1024, 1024)

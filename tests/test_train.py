@@ -574,3 +574,12 @@ def test_grad_accum_rejects_undividable_batch(tiny_setup):
     step = train_loop.make_train_step(cfg, opt, grad_accum=3)  # b=8
     with pytest.raises(ValueError, match="grad_accum"):
         jax.eval_shape(step, state, batch, jax.random.PRNGKey(0))
+
+
+def test_empty_eval_accumulator_raises():
+    """summary() on zero accumulated samples raises instead of silently
+    writing NaN metrics into epoch results."""
+    from ccvpe_tpu.train.metrics import PoseErrorAccumulator
+
+    with pytest.raises(ValueError, match="zero accumulated"):
+        PoseErrorAccumulator().summary()
