@@ -68,7 +68,12 @@ class ArrayCache:
                         failed.append(str(batch_paths[j]))
             else:
                 for j, p in enumerate(batch_paths):
-                    mm[start + j] = transforms.load_image(p, hw)
+                    arr, status = transforms.load_image_status(p, hw)
+                    mm[start + j] = arr
+                    if status != 0:
+                        # record it like the native branch: samplers gate
+                        # their blank-vs-raise policy on meta["failed"]
+                        failed.append(str(batch_paths[j]))
             if progress and (start // chunk) % 16 == 0:
                 print(f"cache {out_prefix}: {start + len(batch_paths)}/{n}")
         mm.flush()

@@ -19,7 +19,6 @@ from PIL import Image
 
 import jax.numpy as jnp
 
-from ..ops import gt as gt_ops
 from . import transforms
 
 # reference ``datasets.py:358-366``
@@ -233,20 +232,12 @@ class KittiSampler:
         sat = np.asarray(
             sat_rot2.crop((left, top, left + side, top + side)), np.uint8)
 
-        # GT offsets back-computed in the rotated frame (``datasets.py:472-473``)
-        cos_o = np.cos(random_ori / 180 * np.pi)
-        sin_o = np.sin(random_ori / 180 * np.pi)
-        x_offset = int(gt_shift_x * self.shift_px_lon * cos_o
-                       - gt_shift_y * self.shift_px_lat * sin_o)
-        y_offset = int(-gt_shift_y * self.shift_px_lat * cos_o
-                       - gt_shift_x * self.shift_px_lon * sin_o)
-
-        # orientation angle (``datasets.py:483-487``)
-        angle = 90.0 - random_ori
-        if angle < 0:
-            angle += 360
-        elif angle > 360:
-            angle -= 360
+        # GT offsets + orientation via the single shared back-computation
+        # (the device_augment path uses the same helper via _raw_sample —
+        # the two paths must not drift on GT scalars)
+        x_offset, y_offset, angle = _finalize_scalars(
+            gt_shift_x, gt_shift_y, random_ori,
+            self.shift_px_lon, self.shift_px_lat)
 
         return {
             "grd": grd, "sat": sat,
@@ -324,11 +315,6 @@ def device_batch_device_aug(raw: dict, *, train: bool, mpp: float,
 
 
 def device_batch(raw: dict, *, train: bool, sat_hw=SAT_HW, bins=BINS):
-    grd = transforms.normalize_images(jnp.asarray(raw["grd"]))
-    sat = transforms.normalize_images(jnp.asarray(raw["sat"]))
-    gt, weights, omap = gt_ops.synthesize_batch_factored(
-        jnp.asarray(raw["row_offset"]), jnp.asarray(raw["col_offset"]),
-        jnp.asarray(raw["angle"]), height=sat_hw[0], width=sat_hw[1],
-        bins=bins, clockwise=False)
-    return {"grd": grd, "sat": sat, "gt": gt, "bin_weights": weights,
-            "orientation": omap}
+    """Normalize + synthesize GT on device (CCW bins, no panorama roll)."""
+    return transforms.assemble_device_batch(raw, sat_hw=sat_hw, bins=bins,
+                                            clockwise=False)

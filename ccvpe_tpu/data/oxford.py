@@ -16,9 +16,7 @@ from dataclasses import dataclass
 import numpy as np
 from PIL import Image
 
-import jax.numpy as jnp
 
-from ..ops import gt as gt_ops
 from . import transforms
 
 METER_PER_PIXEL = 0.09240351462361521   # ``datasets.py:193``
@@ -195,11 +193,6 @@ class OxfordSampler:
 
 
 def device_batch(raw: dict, *, train: bool, sat_hw=SAT_HW, bins=BINS):
-    grd = transforms.normalize_images(jnp.asarray(raw["grd"]))
-    sat = transforms.normalize_images(jnp.asarray(raw["sat"]))
-    gt, weights, omap = gt_ops.synthesize_batch_factored(
-        jnp.asarray(raw["row_offset"]), jnp.asarray(raw["col_offset"]),
-        jnp.asarray(raw["angle"]), height=sat_hw[0], width=sat_hw[1],
-        bins=bins, clockwise=True)
-    return {"grd": grd, "sat": sat, "gt": gt, "bin_weights": weights,
-            "orientation": omap}
+    """Normalize + synthesize GT on device (CW bins — datasets.py:330-351)."""
+    return transforms.assemble_device_batch(raw, sat_hw=sat_hw, bins=bins,
+                                            clockwise=True)

@@ -35,6 +35,30 @@ def _use_native() -> bool:
     return native_loader.available()
 
 
+def load_image_status(path: str, size_hw: tuple[int, int] | None = None,
+                      fallback_hw: tuple[int, int] | None = None,
+                      ) -> tuple[np.ndarray, int]:
+    """Like ``load_image`` but also reports whether the decode succeeded
+    (status 0) or the blank fallback was used (status 1) — callers that
+    must *record* failures (cache builds, samplers deciding between
+    fallback and raise) need the distinction a silent blank hides."""
+    if size_hw is not None and _use_native():
+        from . import native_loader
+
+        out, status = native_loader.load_batch([path], size_hw, n_threads=1)
+        if status[0] == 0:
+            return out[0], 0
+        return np.zeros((*size_hw, 3), np.uint8), 1
+    try:
+        img = Image.open(path).convert("RGB")
+    except Exception:
+        hw = size_hw or fallback_hw or (320, 640)
+        return np.zeros((*hw, 3), np.uint8), 1
+    if size_hw is not None and img.size != (size_hw[1], size_hw[0]):
+        img = img.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
+    return np.asarray(img, np.uint8), 0
+
+
 def load_image(path: str, size_hw: tuple[int, int] | None = None,
                fallback_hw: tuple[int, int] | None = None) -> np.ndarray:
     """Decode to RGB uint8 [H, W, 3], optionally PIL-bilinear resized.
@@ -43,21 +67,7 @@ def load_image(path: str, size_hw: tuple[int, int] | None = None,
     (``datasets.py:100-105``).  Set ``CCVPE_NATIVE_LOADER=1`` to route
     decode+resize through the C++ loader (Pillow-exact resampling; JPEG IDCT
     may differ from PIL by sub-LSB rounding)."""
-    if size_hw is not None and _use_native():
-        from . import native_loader
-
-        out, status = native_loader.load_batch([path], size_hw, n_threads=1)
-        if status[0] == 0:
-            return out[0]
-        return np.zeros((*size_hw, 3), np.uint8)
-    try:
-        img = Image.open(path).convert("RGB")
-    except Exception:
-        hw = size_hw or fallback_hw or (320, 640)
-        return np.zeros((*hw, 3), np.uint8)
-    if size_hw is not None and img.size != (size_hw[1], size_hw[0]):
-        img = img.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
-    return np.asarray(img, np.uint8)
+    return load_image_status(path, size_hw, fallback_hw)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
@@ -80,3 +90,25 @@ def roll_panorama(grd, rotation):
 
 def to_pil(arr: np.ndarray) -> Image.Image:
     return Image.fromarray(np.asarray(arr, np.uint8))
+
+
+def assemble_device_batch(raw: dict, *, sat_hw, bins: int, clockwise: bool,
+                          roll: bool = False) -> dict:
+    """Shared collated-host-batch -> device-batch assembly (all jitted):
+    normalize both images, optionally roll panoramas by the per-sample
+    rotation, synthesize the factored GT.  The per-dataset ``device_batch``
+    wrappers differ only in the bin convention (``clockwise``) and whether
+    the ground image is a rollable panorama — keeping the batch contract in
+    one place so the three datasets cannot drift."""
+    from ..ops import gt as gt_ops
+
+    grd = normalize_images(jnp.asarray(raw["grd"]))
+    if roll:
+        grd = roll_panorama(grd, jnp.asarray(raw["rotation"]))
+    sat = normalize_images(jnp.asarray(raw["sat"]))
+    gt, weights, omap = gt_ops.synthesize_batch_factored(
+        jnp.asarray(raw["row_offset"]), jnp.asarray(raw["col_offset"]),
+        jnp.asarray(raw["angle"]), height=sat_hw[0], width=sat_hw[1],
+        bins=bins, clockwise=clockwise)
+    return {"grd": grd, "sat": sat, "gt": gt, "bin_weights": weights,
+            "orientation": omap}

@@ -12,9 +12,7 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
-import jax.numpy as jnp
 
-from ..ops import gt as gt_ops
 from . import transforms
 
 CITY_LISTS = {
@@ -204,11 +202,18 @@ class VigorSampler:
         images = {}
         for key, (path, hw) in plan["requests"].items():
             if key == "sat":
-                from PIL import Image
-                with Image.open(path) as im:
-                    width_raw, height_raw = im.size
-                images[key] = (transforms.load_image(path, hw), 0,
-                               (height_raw, width_raw))
+                try:
+                    from PIL import Image
+                    with Image.open(path) as im:
+                        width_raw, height_raw = im.size
+                    images[key] = (transforms.load_image(path, hw), 0,
+                                   (height_raw, width_raw))
+                except Exception:
+                    # unreadable satellite: blank fallback with unscaled
+                    # offsets, matching assemble()'s native-path handling
+                    # and the reference (datasets.py:100-105) — one bad
+                    # file must not abort the epoch from a worker thread
+                    images[key] = (np.zeros((*hw, 3), np.uint8), 1, hw)
             else:
                 img = transforms.load_image(path, hw, fallback_hw=hw)
                 images[key] = (img, 0, img.shape[:2])
@@ -217,13 +222,6 @@ class VigorSampler:
 
 def device_batch(raw: dict, *, train: bool, sat_hw=SAT_HW, bins=BINS):
     """Assemble a collated host batch into the model's device batch:
-    normalize, roll panoramas, synthesize GT (all jitted)."""
-    grd = transforms.normalize_images(jnp.asarray(raw["grd"]))
-    grd = transforms.roll_panorama(grd, jnp.asarray(raw["rotation"]))
-    sat = transforms.normalize_images(jnp.asarray(raw["sat"]))
-    gt, weights, omap = gt_ops.synthesize_batch_factored(
-        jnp.asarray(raw["row_offset"]), jnp.asarray(raw["col_offset"]),
-        jnp.asarray(raw["angle"]), height=sat_hw[0], width=sat_hw[1],
-        bins=bins, clockwise=False)
-    return {"grd": grd, "sat": sat, "gt": gt, "bin_weights": weights,
-            "orientation": omap}
+    normalize, roll panoramas, synthesize GT (all jitted; CCW bins)."""
+    return transforms.assemble_device_batch(raw, sat_hw=sat_hw, bins=bins,
+                                            clockwise=False, roll=True)

@@ -230,11 +230,23 @@ def quantize_params(params, ranges: dict[str, float], *,
 
 
 def quantized_fraction(params) -> float:
-    """Fraction of conv-weight elements stored as int8 (diagnostics)."""
+    """Fraction of QUANTIZABLE conv-weight elements stored as int8.
+
+    The denominator excludes 4-D weights that can never execute through
+    the int8 conv path: deconv kernels (``lax.conv_transpose``) and the
+    descriptor-head ``conv_h`` reducers.  Depthwise convs ARE counted —
+    they are quantizable in principle and only excluded by the default
+    policy (``default_select``) — so a default-policy model reports the
+    true policy coverage, not a number diluted by structurally-ineligible
+    weights."""
     total = q = 0
     for path, leaf in tree_util.tree_flatten_with_path(params)[0]:
-        if _path_str(path[-1:]) == "w" and getattr(leaf, "ndim", 0) == 4:
-            total += leaf.size
-            if leaf.dtype == jnp.int8:
-                q += leaf.size
+        if _path_str(path[-1:]) != "w" or getattr(leaf, "ndim", 0) != 4:
+            continue
+        keys = _path_str(path)
+        if "deconv" in keys or "conv_h" in keys:
+            continue
+        total += leaf.size
+        if leaf.dtype == jnp.int8:
+            q += leaf.size
     return q / max(total, 1)

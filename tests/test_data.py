@@ -471,7 +471,9 @@ class TestArrayCache:
 
         c = ArrayCache.build(["/nonexistent/x.png"], (16, 16),
                              str(tmp_path / "bad"))
-        assert c.meta["failed"] == ["/nonexistent/x.png"] or True
+        # the failure must be RECORDED (samplers gate blank-vs-raise on
+        # meta["failed"]) on both the native and the PIL build path
+        assert c.meta["failed"] == ["/nonexistent/x.png"]
         np.testing.assert_array_equal(c[0], np.zeros((16, 16, 3), np.uint8))
 
 
@@ -633,3 +635,20 @@ class TestCounterBasedSampleRNG:
         assert oxford.OxfordSampler._train_offsets(S, 5) != off
         # magnitude bound from the reference: r <= 200*sqrt(2)
         assert np.hypot(*off) <= 200 * np.sqrt(2) + 1
+
+
+def test_vigor_sampler_unreadable_satellite_blank_fallback(vigor_root):
+    """The direct (non-native) sampler path must apply the reference's
+    blank-image fallback (datasets.py:100-105) for an unreadable satellite
+    instead of raising out of a loader worker thread and killing the epoch
+    (the native two-phase path already did)."""
+    idx = vigor.VigorIndex.load(vigor_root, "samearea", train=True)
+    s = vigor.VigorSampler(idx, ori_noise=0.0)
+    sat_idx = int(idx.labels[0, 0])
+    idx.sat_paths[sat_idx] = "/nonexistent/satellite.png"
+    sample = s(0)
+    np.testing.assert_array_equal(
+        sample["sat"], np.zeros((*s.sat_hw, 3), np.uint8))
+    # offsets fall back to unscaled (raw size := model size), not NaN/crash
+    assert np.isfinite(sample["row_offset"]) and \
+        np.isfinite(sample["col_offset"])
