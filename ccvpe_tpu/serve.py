@@ -536,6 +536,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from . import api
+    from .utils.platform import apply_env_platform
+
+    apply_env_platform()  # CCVPE_PLATFORM=cpu -> host-backend smoke serving
 
     model = api.load_model(args.checkpoint, preset=args.preset,
                            matching_impl=args.matching_impl,
