@@ -9,6 +9,7 @@ preemption recovery — the TPU-world requirement.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -19,16 +20,41 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int | None = 3):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self._dir = directory
         self._mngr = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
                                                  create=True),
         )
 
-    def save(self, step: int, state: Any, wait: bool = False):
+    def save(self, step: int, state: Any, wait: bool = False,
+             meta: dict | None = None):
         self._mngr.save(step, args=ocp.args.StandardSave(state))
+        if meta is not None:
+            self.save_meta(step, meta)
         if wait:
             self._mngr.wait_until_finished()
+
+    def save_meta(self, step: int, meta: dict):
+        """(Re)write the sidecar metadata for ``step`` without touching the
+        arrays — e.g. upgrading a mid-epoch save to epoch-completed."""
+        # single sidecar (not per-step: max_to_keep GC would leak them);
+        # only trusted on restore when its step matches latest_step
+        tmp = os.path.join(self._dir, f".latest_meta.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"step": int(step), **meta}, f)
+        os.replace(tmp, os.path.join(self._dir, "latest_meta.json"))
+
+    def meta(self, step: int) -> dict:
+        """Sidecar metadata written with the save of ``step`` (e.g. the epoch
+        position); ``{}`` when absent or written for a different step."""
+        path = os.path.join(self._dir, "latest_meta.json")
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            return {}
+        return rec if rec.get("step") == int(step) else {}
 
     def latest_step(self):
         return self._mngr.latest_step()

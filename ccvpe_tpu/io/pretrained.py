@@ -22,6 +22,7 @@ with network access while staying fully offline-testable:
 from __future__ import annotations
 
 import hashlib
+import http.client
 import os
 import time
 import urllib.error
@@ -172,7 +173,9 @@ def _download(url: str, dest: str, *, progress: bool = True,
                 print()
             os.replace(part, dest)
             return
-        except (urllib.error.URLError, OSError) as e:
+        except (urllib.error.URLError, OSError, http.client.HTTPException) as e:
+            # HTTPException covers mid-body drops (IncompleteRead is NOT an
+            # OSError) so a transient blip retries instead of aborting
             last_err = e
             if os.path.exists(part):
                 os.unlink(part)

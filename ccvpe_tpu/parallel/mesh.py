@@ -196,11 +196,14 @@ def tree_shardings(tree, mesh: Mesh, min_size: int = 100_000):
         shape = getattr(leaf, "shape", ())
         size = int(np.prod(shape)) if shape else 0
         if n_model > 1 and len(shape) >= 1 and size >= min_size:
-            ax = int(np.argmax(shape))
-            if shape[ax] % n_model == 0:
-                spec = [None] * len(shape)
-                spec[ax] = MODEL_AXIS
-                return NamedSharding(mesh, P(*spec))
+            # largest divisible axis, not just the largest axis: a tensor
+            # whose longest dim is odd-sized can still shard a shorter one
+            # (same rule as zero1_state_shardings' sorted-axes loop)
+            for ax in sorted(range(len(shape)), key=lambda a: -shape[a]):
+                if shape[ax] % n_model == 0:
+                    spec = [None] * len(shape)
+                    spec[ax] = MODEL_AXIS
+                    return NamedSharding(mesh, P(*spec))
         return repl
 
     return jax.tree_util.tree_map(rule, tree)

@@ -17,6 +17,7 @@ from typing import Callable
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..io.checkpoint import CheckpointManager
 from ..parallel import mesh as mesh_lib
@@ -60,8 +61,7 @@ class Trainer:
         if mesh is None:
             # the batch shards over the whole mesh (see mesh.data_sharded),
             # so data*model must divide the global batch
-            import jax as _jax
-            n_dev = len(_jax.devices())
+            n_dev = len(jax.devices())
             if n_model < 1 or n_dev % n_model:
                 raise ValueError(
                     f"n_model={n_model} must be a positive divisor of the "
@@ -78,6 +78,14 @@ class Trainer:
                 # over-reduce grouped-conv weight grads (see loop.py)
                 while n > 1 and batch_size % (n * n_model * grad_accum):
                     n -= 1
+                if n * n_model < n_dev:
+                    print(f"WARNING: global batch {batch_size} (grad_accum="
+                          f"{grad_accum}) does not divide the "
+                          f"{n_dev}-device slice; using a "
+                          f"{n}x{n_model} mesh and idling "
+                          f"{n_dev - n * n_model} device(s) — pick a batch "
+                          f"divisible by devices*grad_accum for full "
+                          f"utilization")
             mesh = mesh_lib.create_mesh(n_data=n, n_model=n_model)
         self.mesh = mesh
         if batch_size and grad_accum > 1:
@@ -91,7 +99,6 @@ class Trainer:
                     f"divide the mesh (batch % (mesh * grad_accum) == 0) "
                     f"or grouped-conv gradients mis-reduce")
         self.n_model = dict(mesh.shape).get(mesh_lib.MODEL_AXIS, 1)
-        import jax.numpy as jnp
 
         # bf16-resident params keep an f32 master in the optimizer state
         self.param_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[
@@ -131,6 +138,10 @@ class Trainer:
         self.checkpoint_every_steps = checkpoint_every_steps
         self.zero1 = zero1
         self._global_step = 0
+        # epoch to start the CLI loop at; resume() advances it from the
+        # checkpoint's sidecar meta so preempted runs continue where they
+        # left off instead of retraining from epoch 0
+        self.start_epoch = 0
 
     # -- state ------------------------------------------------------------
     def _place_state(self, state):
@@ -174,9 +185,19 @@ class Trainer:
         if self.ckpt and self.ckpt.latest_step() is not None:
             if self.state is None:
                 self.init_state()
+            step = self.ckpt.latest_step()
             state = self.ckpt.restore(self._host_state())
             self._place_state(state)
             self._global_step = int(jax.device_get(self.state.step))
+            # epoch position from the save's sidecar meta: a completed
+            # epoch resumes at the next one; a mid-epoch save re-runs its
+            # epoch from the start (loader shuffle order is epoch-keyed,
+            # not step-restorable).  Pre-meta checkpoints resume at 0 —
+            # the old (over-training) behavior, now the documented
+            # fallback only.
+            meta = self.ckpt.meta(step)
+            self.start_epoch = (int(meta["epoch"]) + bool(meta.get("completed"))
+                                if "epoch" in meta else 0)
             return True
         return False
 
@@ -252,7 +273,8 @@ class Trainer:
                 running, n = None, 0
             if (self.ckpt and self.checkpoint_every_steps and
                     self._global_step % self.checkpoint_every_steps == 0):
-                self.ckpt.save(self._global_step, self._host_state())
+                self.ckpt.save(self._global_step, self._host_state(),
+                               meta={"epoch": epoch, "completed": False})
             timer.stop()
         if tracing:
             # epoch ended inside the capture window: close the trace
@@ -261,10 +283,17 @@ class Trainer:
                     lambda x: x.block_until_ready(), parts)
             jax.profiler.stop_trace()
             self._profiled = True
-        if self.ckpt and self.ckpt.latest_step() != self._global_step:
-            # keyed by global step; skip only if a mid-epoch save just
-            # landed on this exact step
-            self.ckpt.save(self._global_step, self._host_state(), wait=True)
+        if self.ckpt:
+            if self.ckpt.latest_step() != self._global_step:
+                self.ckpt.save(self._global_step, self._host_state(),
+                               wait=True,
+                               meta={"epoch": epoch, "completed": True})
+            else:
+                # a mid-epoch save just landed on this exact step: keep the
+                # array write, upgrade its meta to epoch-completed so resume
+                # starts at the next epoch
+                self.ckpt.save_meta(self._global_step,
+                                    {"epoch": epoch, "completed": True})
         stats = timer.summary()
         if stats:
             # host-cadence times: most steps are async dispatch + data load;

@@ -123,8 +123,9 @@ def create_train_state(model_cfg: cvm.CVMConfig, rng, optimizer,
         from ..io.torch_import import import_b0, load_state_dict
 
         sd = load_state_dict(resolve(pretrained_b0))
+        # one conversion, shared by both encoders (jnp trees are immutable)
+        imported = import_b0(sd)
         for enc in ("grd_efficientnet", "sat_efficientnet"):
-            imported = import_b0(sd)
             _check_encoder_shapes(params[enc], imported[0], pretrained_b0,
                                   model_cfg)
             params[enc], bn_state[enc] = imported

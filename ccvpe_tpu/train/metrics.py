@@ -102,14 +102,20 @@ class PoseErrorAccumulator:
         self.orientation_err.extend(err[valid])
 
         if orientation_from_north is not None:
-            heading = np.asarray(orientation_from_north, np.float64)
-            # reference ``train_KITTI.py:320-327``
-            gt2pred = np.degrees(np.arctan2(np.abs(gc - pc), np.abs(gr - pr)))
-            diff = np.abs(heading - gt2pred)
-            self.longitudinal_m.extend(
-                np.abs(np.cos(np.radians(diff)) * px) * mpp)
-            self.lateral_m.extend(
-                np.abs(np.sin(np.radians(diff)) * px) * mpp)
+            self._accumulate_lat_lon(orientation_from_north, gr, gc, pr, pc,
+                                     px, mpp)
+
+    def _accumulate_lat_lon(self, heading, gr, gc, pr, pc, px, mpp):
+        """Vehicle-frame error decomposition, reference
+        ``train_KITTI.py:320-327`` — one definition for both the
+        full-heatmap and the device-readout eval paths."""
+        heading = np.asarray(heading, np.float64)
+        gt2pred = np.degrees(np.arctan2(np.abs(gc - pc), np.abs(gr - pr)))
+        diff = np.abs(heading - gt2pred)
+        self.longitudinal_m.extend(
+            np.abs(np.cos(np.radians(diff)) * px) * mpp)
+        self.lateral_m.extend(
+            np.abs(np.sin(np.radians(diff)) * px) * mpp)
 
     def update_from_readout(self, r: dict, meter_per_pixel,
                             orientation_from_north=None):
@@ -129,17 +135,12 @@ class PoseErrorAccumulator:
         self.orientation_err.extend(err[valid])
 
         if orientation_from_north is not None:
-            heading = np.asarray(orientation_from_north, np.float64)
-            gr = np.asarray(r["gt_row"], np.float64)
-            gc = np.asarray(r["gt_col"], np.float64)
-            pr = np.asarray(r["pred_row"], np.float64)
-            pc = np.asarray(r["pred_col"], np.float64)
-            gt2pred = np.degrees(np.arctan2(np.abs(gc - pc), np.abs(gr - pr)))
-            diff = np.abs(heading - gt2pred)
-            self.longitudinal_m.extend(
-                np.abs(np.cos(np.radians(diff)) * px) * mpp)
-            self.lateral_m.extend(
-                np.abs(np.sin(np.radians(diff)) * px) * mpp)
+            self._accumulate_lat_lon(
+                orientation_from_north,
+                np.asarray(r["gt_row"], np.float64),
+                np.asarray(r["gt_col"], np.float64),
+                np.asarray(r["pred_row"], np.float64),
+                np.asarray(r["pred_col"], np.float64), px, mpp)
 
     def summary(self):
         if not self.distance_m:

@@ -348,6 +348,10 @@ def test_trainer_checkpoint_cadence_and_resume(tiny_setup, tmp_path):
                   checkpoint_every_steps=0, log_every=2)
     assert tr2.resume()
     assert tr2._global_step == 6
+    # epoch position restored: epoch 1 completed (the end-of-epoch
+    # save_meta upgrade of the step-6 mid-epoch save) -> restart at 2,
+    # not 0 — a preempted run must not retrain completed epochs
+    assert tr2.start_epoch == 2
     assert int(jax.device_get(tr2.state.step)) == 6
     # optimizer moments came back too (non-zero after 6 Adam steps)
     mom = jax.tree_util.tree_leaves(tr2.state.opt_state)
@@ -583,3 +587,25 @@ def test_empty_eval_accumulator_raises():
 
     with pytest.raises(ValueError, match="zero accumulated"):
         PoseErrorAccumulator().summary()
+
+
+def test_checkpoint_meta_sidecar(tmp_path):
+    """CheckpointManager sidecar meta: written atomically with a save,
+    trusted only when its step matches, upgradable in place (the
+    end-of-epoch completed=True flip), and absent -> {} (pre-meta
+    checkpoints fall back to epoch 0)."""
+    from ccvpe_tpu.io.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    state = {"w": np.zeros((3,), np.float32)}
+    assert ck.meta(1) == {}                      # nothing written yet
+    ck.save(1, state, wait=True, meta={"epoch": 0, "completed": False})
+    assert ck.meta(1) == {"step": 1, "epoch": 0, "completed": False}
+    ck.save_meta(1, {"epoch": 0, "completed": True})
+    assert ck.meta(1)["completed"] is True
+    ck.save(2, state, wait=True, meta={"epoch": 1, "completed": True})
+    assert ck.meta(1) == {}                      # stale step -> untrusted
+    assert ck.meta(2)["epoch"] == 1
+    ck.save(3, state, wait=True)                 # meta-less save
+    assert ck.meta(3) == {}
+    ck.close()

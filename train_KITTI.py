@@ -229,7 +229,14 @@ def _main(argv=None):
             else:
                 trainer.init_state(pretrained_b0=args.pretrained_b0 or None)
         rng = np.random.default_rng(0)
-        for epoch in range(args.epochs):
+        if trainer.start_epoch:
+            # resume position from the checkpoint's sidecar meta; burn the
+            # completed epochs' shuffle draws so epoch k's order matches an
+            # uninterrupted run (Generator.shuffle advances by length only)
+            print(f"resuming at epoch {trainer.start_epoch}")
+            for _ in range(trainer.start_epoch):
+                rng.shuffle(limit(np.arange(len(index))))
+        for epoch in range(trainer.start_epoch, args.epochs):
             sampler.set_epoch(epoch)  # fresh per-epoch augmentation draws
             order = limit(np.arange(len(index)))
             rng.shuffle(order)

@@ -203,7 +203,14 @@ def _main(argv=None):
         dev_eval = lambda raw: crop_fov(vigor.device_batch(
             raw, train=False, sat_hw=sat_hw, bins=cfg.bins))
 
-        for epoch in range(args.epochs):
+        if trainer.start_epoch:
+            # resume position from the checkpoint's sidecar meta; burn the
+            # completed epochs' shuffle draws so epoch k's order matches an
+            # uninterrupted run (Generator.shuffle advances by length only)
+            print(f"resuming at epoch {trainer.start_epoch}")
+            for _ in range(trainer.start_epoch):
+                rng.shuffle(train_idx.copy())
+        for epoch in range(trainer.start_epoch, args.epochs):
             sampler.set_epoch(epoch)  # fresh per-epoch augmentation draws
             order = train_idx.copy()
             rng.shuffle(order)
